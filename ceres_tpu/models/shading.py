@@ -1,0 +1,82 @@
+"""Shading models: Lambertian, Blinn-Phong, Gouraud-interpolated smooth shading.
+
+Reproduces the reference shading math and constants exactly
+(include/render.hpp:46-84): ambient 0.2, diffuse 0.5 * |dot(sun, n)|,
+specular 0.8 * dot(n, normalize(sun + view))^24, channel tint
+(0.5, 0.0, 0.8) applied to (ambient + diffuse) only, clamp to [0, 1]
+per corner, then blended with barycentric weights (u, v, 1 - u - v).
+
+All functions are pure JAX, broadcast over leading batch dims, and
+differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+AMBIENT = 0.2
+DIFFUSE_GAIN = 0.5
+SPECULAR_GAIN = 0.8
+SPECULAR_EXP = 24
+TINT = (0.5, 0.0, 0.8)
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def lambertian(sun_line: jax.Array, normal: jax.Array) -> jax.Array:
+    """|dot(sun_line, normal)| (render.hpp:46-49). Shapes (..., 3) -> (...)."""
+    return jnp.abs(jnp.sum(sun_line * normal, axis=-1))
+
+
+def blinn_phong_spec(sun_line: jax.Array, normal: jax.Array, view: jax.Array) -> jax.Array:
+    """dot(normal, normalize(sun_line + view))^24 (render.hpp:51-54).
+
+    The exponent is an even integer, so negative bases come out positive —
+    matching C++ std::pow semantics on the reference path.
+    """
+    h = _normalize(sun_line + view)
+    return jnp.sum(normal * h, axis=-1) ** SPECULAR_EXP
+
+
+def corner_shade(sun_line: jax.Array, normal: jax.Array, view: jax.Array) -> jax.Array:
+    """Color contribution of one corner normal before barycentric weighting.
+
+    Returns (..., 3) RGB. ``view`` here is the *negated* primary-ray view
+    direction, as the reference passes ``view * -1`` (render.hpp:66,72,78).
+    """
+    diffuse = DIFFUSE_GAIN * lambertian(sun_line, normal)
+    specular = SPECULAR_GAIN * blinn_phong_spec(sun_line, normal, view)
+    base = AMBIENT + diffuse
+    tint = jnp.asarray(TINT, dtype=base.dtype)
+    rgb = base[..., None] * tint + specular[..., None]
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def smooth_shading(
+    sun_line: jax.Array,      # (..., 3), normalized direction toward the sun
+    corner_normals: jax.Array,  # (..., 3, 3): normals of corners 0,1,2
+    view: jax.Array,          # (..., 3), primary-ray direction (un-negated)
+    u: jax.Array,             # (...)
+    v: jax.Array,             # (...)
+) -> jax.Array:
+    """Gouraud smooth shading (render.hpp:57-84).
+
+    Corner weights are (u, v, 1-u-v) for corners (0, 1, 2) in OBJ winding
+    order — the same barycentric convention the renderer uses for the hit
+    point ``u*p0 + v*p1 + (1-u-v)*p2`` (render.hpp:127-129).
+    """
+    neg_view = -view
+    c0 = corner_shade(sun_line, corner_normals[..., 0, :], neg_view)
+    c1 = corner_shade(sun_line, corner_normals[..., 1, :], neg_view)
+    c2 = corner_shade(sun_line, corner_normals[..., 2, :], neg_view)
+    w = 1.0 - u - v
+    return u[..., None] * c0 + v[..., None] * c1 + w[..., None] * c2
+
+
+def flat_shading(normal: jax.Array) -> jax.Array:
+    """|n| visualization used by the reference's flat path (render.hpp:123-125):
+    RGB = abs(normalize(face_normal)). Shapes (..., 3) -> (..., 3)."""
+    return jnp.abs(_normalize(normal))

@@ -1,0 +1,44 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Must run before jax initializes a backend; pytest imports conftest first.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: XLA-CPU compiles dominate test time otherwise.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+DATA_DIR = "/root/reference/data"
+
+
+@pytest.fixture(scope="session")
+def bunny():
+    from ceres_tpu.io.obj import load_obj
+
+    return load_obj(os.path.join(DATA_DIR, "bunny.obj"))
+
+
+@pytest.fixture(scope="session")
+def dragon():
+    from ceres_tpu.io.obj import load_obj
+
+    return load_obj(os.path.join(DATA_DIR, "dragon.obj"))
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
