@@ -1,0 +1,145 @@
+"""Morton-ordered triangle clusters — the TPU acceleration structure.
+
+The reference accelerates rays with a binary BVH traversed by a per-ray
+stack (lib/bvh/bvh.hpp:18-97, single_ray_traverser.hpp:67-126) — divergent
+pointer-chasing that maps terribly onto a lockstep 8x128 vector unit. The
+TPU-native replacement flattens the hierarchy into *clusters*: fixed-size
+groups of C spatially-coherent triangles (C = 128 = one VPU lane row),
+formed by sorting triangle centroids along the Morton curve. Each cluster
+carries one AABB; a ray tile slab-tests a cluster's AABB (cheap, fully
+vectorized) and only on overlap runs the dense Möller-Trumbore matmul
+against all C triangles at once (ceres_tpu.ops.intersect docstring). This
+is a 2-level wide BVH with arity N_clusters — culling without divergence.
+
+Per-triangle quantities stay differentiable w.r.t. the input soup; only the
+*ordering* (argsort of morton codes) is detached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ceres_tpu.accel import morton
+from ceres_tpu.models.mesh import TriangleSoup
+
+CLUSTER_SIZE = 128  # triangles per cluster: one f32 lane row
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterSet:
+    """Padded, morton-ordered triangle clusters.
+
+    ``perm`` maps the packed slot (cluster * C + i) back to the original
+    triangle id, with -1 marking padding slots (the Permuted=true
+    pre-gathered layout of primitive_intersectors.hpp:17-20, taken to its
+    conclusion: no indirection inside the hot loop at all). Padding
+    triangles are all-zero records, which Möller-Trumbore rejects
+    (det = 0 -> u = NaN -> NaN-safe accept is False, triangle.hpp:106-108).
+    """
+
+    p0: jax.Array    # (N_c, C, 3)
+    e1: jax.Array    # (N_c, C, 3)
+    e2: jax.Array    # (N_c, C, 3)
+    n: jax.Array     # (N_c, C, 3)
+    lo: jax.Array    # (N_c, 3) cluster AABB min corners
+    hi: jax.Array    # (N_c, 3) cluster AABB max corners
+    perm: jax.Array  # (N_c * C,) int32, original triangle id or -1
+
+    @property
+    def num_clusters(self) -> int:
+        return self.p0.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.p0.shape[1]
+
+
+def build_clusters(soup: TriangleSoup, cluster_size: int = CLUSTER_SIZE) -> ClusterSet:
+    """Sort triangles along the Morton curve and pack C-sized clusters.
+
+    Fully jittable: the cluster count is static given the triangle count.
+    Replaces the reference's builder stack (sort_primitives_by_morton_code,
+    morton_code_based_builder.hpp:16-86 + the leaf layout the builders emit)
+    with sort + gather + segmented min/max.
+    """
+    T = soup.num_triangles
+    C = cluster_size
+    num_clusters = -(-T // C)
+    pad = num_clusters * C - T
+
+    centers = (soup.p0 + soup.p1 + soup.p2) / 3.0
+    order = morton.morton_order(centers)  # (T,) int32
+
+    perm = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)])
+    gather_idx = jnp.concatenate([order, jnp.zeros((pad,), jnp.int32)])
+    valid = perm >= 0  # (N_c * C,)
+
+    def pack(x):
+        g = x[gather_idx]
+        g = jnp.where(valid[:, None], g, 0.0)
+        return g.reshape(num_clusters, C, 3)
+
+    p0 = pack(soup.p0)
+    e1 = pack(soup.e1)
+    e2 = pack(soup.e2)
+    n = pack(soup.n)
+
+    # Cluster AABBs from member-triangle AABBs; padding slots contribute
+    # the empty box (+inf / -inf sentinels, bounding_box.hpp:64-70).
+    p1 = p0 - e1
+    p2 = p0 + e2
+    pts = jnp.stack([p0, p1, p2], axis=2)  # (N_c, C, 3, 3)
+    tri_lo = pts.min(axis=2)
+    tri_hi = pts.max(axis=2)
+    vmask = valid.reshape(num_clusters, C)[..., None]
+    lo = jnp.where(vmask, tri_lo, jnp.inf).min(axis=1)
+    hi = jnp.where(vmask, tri_hi, -jnp.inf).max(axis=1)
+
+    return ClusterSet(p0=p0, e1=e1, e2=e2, n=n,
+                      lo=jax.lax.stop_gradient(lo),
+                      hi=jax.lax.stop_gradient(hi),
+                      perm=perm)
+
+
+def cluster_weights_common_origin(clusters: ClusterSet, origin: jax.Array) -> jax.Array:
+    """MT weight tensor for common-origin rays: (N_c, 4, C, 4) = (ch, tri, K).
+
+    Channel order (0=u_num, 1=v_num, 2=det, 3=t_num) with feature layout
+    [d, 1] (see ceres_tpu.ops.intersect.triangle_weights_common_origin; the
+    layout here is transposed so the kernel's per-channel matmul is
+    (C, K) @ (K, R) with C on the sublane axis).
+    """
+    p0 = clusters.p0 - origin
+    e1, e2, n = clusters.e1, clusters.e2, clusters.n
+    ones_shape = p0.shape[:-1] + (1,)
+    zeros1 = jnp.zeros(ones_shape, p0.dtype)
+    w_u = jnp.concatenate([jnp.cross(p0, e2), zeros1], axis=-1)   # (N_c, C, 4)
+    w_v = jnp.concatenate([jnp.cross(p0, e1), zeros1], axis=-1)
+    w_det = jnp.concatenate([n, zeros1], axis=-1)
+    w_t = jnp.concatenate(
+        [jnp.zeros_like(p0), jnp.sum(n * p0, axis=-1, keepdims=True)], axis=-1
+    )
+    return jnp.stack([w_u, w_v, w_det, w_t], axis=1)  # (N_c, 4, C, 4)
+
+
+def cluster_weights_generic(clusters: ClusterSet, origin_shift: jax.Array) -> jax.Array:
+    """MT weight tensor for generic-origin rays: (N_c, 4, C, 10).
+
+    Feature layout [d, d x o, o, 1] with ray origins pre-shifted by
+    ``origin_shift`` (see ceres_tpu.ops.intersect.triangle_weights).
+    """
+    p0 = clusters.p0 - origin_shift
+    e1, e2, n = clusters.e1, clusters.e2, clusters.n
+    zeros3 = jnp.zeros_like(p0)
+    zeros1 = jnp.zeros(p0.shape[:-1] + (1,), p0.dtype)
+    w_u = jnp.concatenate([jnp.cross(p0, e2), -e2, zeros3, zeros1], axis=-1)
+    w_v = jnp.concatenate([jnp.cross(p0, e1), -e1, zeros3, zeros1], axis=-1)
+    w_det = jnp.concatenate([n, zeros3, zeros3, zeros1], axis=-1)
+    w_t = jnp.concatenate(
+        [zeros3, zeros3, -n, jnp.sum(n * p0, axis=-1, keepdims=True)], axis=-1
+    )
+    return jnp.stack([w_u, w_v, w_det, w_t], axis=1)  # (N_c, 4, C, 10)

@@ -1,0 +1,134 @@
+"""Turntable animation CLI — the anim app (include/anim.cpp:19-159).
+
+Per frame the reference rotates camera eye/dir and sun by 360/N degrees
+about +y (anim.cpp:77-89), renders, and writes all frames as an animated
+file via Magick++ (default ``render.mp4``, anim.cpp:112-127). Here the
+frames are *batched*: keyframe Transform tracks go through
+render_frames_sharded, sharding (frames x rows) across every available
+device, and the video is encoded with OpenCV (.mp4) or imageio (.gif).
+
+Usage:
+    python -m ceres_tpu.cli.anim data/bunny.obj -o render.mp4 --frames 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ceres-anim",
+        description="TPU-native turntable animation of an OBJ mesh.")
+    p.add_argument("input", help="OBJ mesh path")
+    p.add_argument("-o", "--output", default="render.mp4",
+                   help="output video (.mp4 or .gif) [render.mp4]")
+    p.add_argument("--frames", type=int, default=60,
+                   help="number of turntable frames [60]")
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--eye", nargs=3, type=float, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="camera position (default: auto-framed)")
+    p.add_argument("--up", nargs=3, type=float, default=[0.0, 1.0, 0.0],
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--fov", type=float, default=60.0)
+    p.add_argument("--sun", nargs=3, type=float, default=[-50.0, 100.0, 0.0],
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--axis", nargs=3, type=float, default=[0.0, 1.0, 0.0],
+                   help="turntable rotation axis [0 1 0]")
+    p.add_argument("--width", type=int, default=621)   # anim.cpp:140-141
+    p.add_argument("--height", type=int, default=1344)
+    p.add_argument("--mode", choices=["smooth", "flat", "normal"],
+                   default="smooth")
+    p.add_argument("--backend", choices=["megakernel", "bruteforce"],
+                   default="megakernel")
+    p.add_argument("--batch", type=int, default=None,
+                   help="frames rendered per device dispatch "
+                        "(default: one full mesh-sized batch at a time)")
+    return p
+
+
+def _write_video(path: str, frames_u8, fps: int) -> None:
+    if path.endswith(".gif"):
+        import imageio
+
+        imageio.mimsave(path, list(frames_u8), fps=fps, loop=0)
+    elif path.endswith(".mp4"):
+        import cv2
+
+        h, w = frames_u8[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+        for f in frames_u8:
+            vw.write(f[:, :, ::-1])  # RGB -> BGR
+        vw.release()
+    else:
+        raise ValueError(f"unsupported video format: {path}")
+
+
+def run(args) -> int:
+    import jax
+    import numpy as np
+
+    from ceres_tpu.io.obj import load_obj
+    from ceres_tpu.models.camera import Camera
+    from ceres_tpu.parallel.sharded import (
+        device_mesh, render_frames_sharded, turntable_transforms)
+    from ceres_tpu.utils.image import to_uint8
+
+    t0 = time.perf_counter()
+    vertices, faces = load_obj(args.input)
+    if faces.shape[0] == 0:
+        print("Error: scene has no triangles", file=sys.stderr)
+        return 1
+    print(f"Loaded {vertices.shape[0]} vertices / {faces.shape[0]} faces")
+
+    center = vertices.mean(axis=0)
+    if args.eye is not None:
+        eye = np.asarray(args.eye, np.float32)
+    else:
+        # Auto-frame: back off along -z by 2.5x the bounding radius.
+        radius = float(np.linalg.norm(vertices - center, axis=1).max())
+        eye = center + np.asarray([0, 0, -2.5 * radius], np.float32)
+    camera = Camera.make(eye=eye, dir=center - eye, up=args.up, fov=args.fov)
+    sun = np.asarray(args.sun, np.float32)
+
+    n_dev = len(jax.devices())
+    mesh = device_mesh()  # all devices on the "rays" axis; frames batched below
+    tracks = turntable_transforms(args.frames, axis=args.axis)
+
+    batch = args.batch or 1
+    total_rays = 0
+    frames_u8 = []
+    t1 = time.perf_counter()
+    for start in range(0, args.frames, batch):
+        stop = min(start + batch, args.frames)
+        tf = jax.tree.map(lambda x: x[start:stop], tracks)
+        frames, stats = render_frames_sharded(
+            vertices, faces, camera, sun, tf, mesh=mesh,
+            width=args.width, height=args.height, mode=args.mode,
+            backend=args.backend)
+        frames = np.asarray(frames)
+        total_rays += int(stats["rays"])
+        for k in range(frames.shape[0]):
+            frames_u8.append(to_uint8(frames[k])[::-1])  # flip like PPM
+        print(f"frames {start}..{stop - 1} done "
+              f"({time.perf_counter() - t1:.2f}s elapsed)")
+    dt = time.perf_counter() - t1
+
+    print(f"Total Rays: {total_rays}")  # anim.cpp:129
+    print(f"Total render: {dt:.2f}s on {n_dev} device(s) "
+          f"({total_rays / dt / 1e6:.1f} Mrays/s)")
+    _write_video(args.output, frames_u8, args.fps)
+    print(f"Wrote {args.output} ({args.frames} frames)")
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,108 @@
+"""Inverse rendering: fit scene parameters to a target image.
+
+BASELINE config 4: "differentiable mode: gradients w.r.t. vertex positions
++ camera pose, inverse-rendering fit on bunny". The reference has no
+differentiable mode at all — this subsystem exists because the rebuild's
+renderer is differentiable end-to-end (visibility detached, every shading/
+intersection quantity analytic).
+
+The train step is the framework's "training step": forward render (single
+chip or shard_map over a mesh), photometric loss, backward through the
+megakernel's custom VJP, optimizer update. Under a mesh, gradients of the
+replicated vertex/camera parameters are psum'd across chips by shard_map's
+transpose — the all-reduce overlapped with the backward pass by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ceres_tpu.models.camera import Camera
+from ceres_tpu.render.renderer import RenderConfig, render_pipeline
+
+
+class TrainState(NamedTuple):
+    params: dict          # {"vertices": (V,3) [, "eye", "dir"]}
+    opt_state: optax.OptState
+
+
+def image_loss(rendered: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean squared photometric error."""
+    return jnp.mean((rendered - target) ** 2)
+
+
+def _camera_with(camera: Camera, params: dict) -> Camera:
+    return Camera(eye=params.get("eye", camera.eye),
+                  dir=params.get("dir", camera.dir),
+                  up=camera.up, fov=params.get("fov", camera.fov))
+
+
+def make_train_step(faces, camera: Camera, sun, config: RenderConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh=None):
+    """Build a jitted train step: (state, target) -> (state, loss).
+
+    With ``mesh`` given, the forward render shards rays over the mesh
+    (ceres_tpu.parallel) and the target image is consumed sharded the same
+    way; gradients arrive psum'd.
+    """
+    faces = jnp.asarray(faces)
+    sun = jnp.asarray(sun)
+
+    def loss_fn(params, target):
+        cam = _camera_with(camera, params)
+        if mesh is None:
+            image, _ = render_pipeline(params["vertices"], faces, cam, sun,
+                                       config)
+        else:
+            from ceres_tpu.parallel.sharded import _render_sharded_jit
+
+            image, _ = _render_sharded_jit(params["vertices"], faces, cam,
+                                           sun, config, mesh)
+        return image_loss(image, target)
+
+    @jax.jit
+    def step(state: TrainState, target) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, target)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), loss
+
+    return step
+
+
+def fit_vertices(
+    vertices,
+    faces,
+    camera: Camera,
+    sun,
+    target,
+    config: Optional[RenderConfig] = None,
+    steps: int = 100,
+    learning_rate: float = 1e-3,
+    optimize_camera: bool = False,
+    mesh=None,
+):
+    """Gradient-descend vertex positions (optionally camera pose) to match
+    ``target``. Returns (final params dict, loss history list)."""
+    config = config or RenderConfig(width=target.shape[1],
+                                    height=target.shape[0])
+    params = {"vertices": jnp.asarray(vertices)}
+    if optimize_camera:
+        params["eye"] = camera.eye
+        params["dir"] = camera.dir
+    optimizer = optax.adam(learning_rate)
+    state = TrainState(params, optimizer.init(params))
+    step = make_train_step(faces, camera, sun, config, optimizer, mesh=mesh)
+    target = jnp.asarray(target)
+    history = []
+    for _ in range(steps):
+        state, loss = step(state, target)
+        history.append(float(loss))
+    return state.params, history

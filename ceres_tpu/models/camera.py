@@ -55,6 +55,28 @@ def camera_basis(camera: Camera, width: int, height: int):
     return d, iu, iv
 
 
+def camera_rays_rows(
+    camera: Camera, width: int, height: int, row_start, num_rows: int
+) -> jax.Array:
+    """Normalized view directions for pixel rows [row_start, row_start+num_rows).
+
+    Shape (num_rows, width, 3). ``row_start`` may be traced — this is the
+    on-device ray generator each chip uses for its own row shard, so no ray
+    data ever crosses the host (SURVEY.md §7 hard part (e)).
+    """
+    d, iu, iv = camera_basis(camera, width, height)
+    i = jnp.arange(width, dtype=camera.eye.dtype)
+    j = row_start + jnp.arange(num_rows, dtype=camera.eye.dtype)
+    u = 2.0 * (i + 0.5) / width - 1.0
+    v = 2.0 * (j + 0.5) / height - 1.0
+    dirs = (
+        u[None, :, None] * iu[None, None, :]
+        + v[:, None, None] * iv[None, None, :]
+        + d[None, None, :]
+    )
+    return _normalize(dirs)
+
+
 def camera_rays(camera: Camera, width: int, height: int) -> jax.Array:
     """Normalized view directions for every pixel, shape (height, width, 3).
 

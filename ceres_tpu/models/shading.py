@@ -64,16 +64,19 @@ def smooth_shading(
 ) -> jax.Array:
     """Gouraud smooth shading (render.hpp:57-84).
 
-    Corner weights are (u, v, 1-u-v) for corners (0, 1, 2) in OBJ winding
-    order — the same barycentric convention the renderer uses for the hit
-    point ``u*p0 + v*p1 + (1-u-v)*p2`` (render.hpp:127-129).
+    Corner weights are (1-u-v, u, v) for corners (0, 1, 2) in OBJ winding
+    order — the *true* barycentrics of the reference's MT variant. NOTE:
+    the reference itself weights corners (u, v, 1-u-v) (render.hpp:76-83),
+    a mis-assignment matching its hit-point bug (see
+    ceres_tpu.render.renderer); we interpolate correctly, which makes
+    shading C0-continuous across shared mesh edges.
     """
     neg_view = -view
     c0 = corner_shade(sun_line, corner_normals[..., 0, :], neg_view)
     c1 = corner_shade(sun_line, corner_normals[..., 1, :], neg_view)
     c2 = corner_shade(sun_line, corner_normals[..., 2, :], neg_view)
     w = 1.0 - u - v
-    return u[..., None] * c0 + v[..., None] * c1 + w[..., None] * c2
+    return w[..., None] * c0 + u[..., None] * c1 + v[..., None] * c2
 
 
 def flat_shading(normal: jax.Array) -> jax.Array:

@@ -133,12 +133,19 @@ def decode_hits(
     v_num = numerators[..., 1]
     det = numerators[..., 2]
     t_num = numerators[..., 3]
-    inv_det = 1.0 / det
+    # det == 0 (parallel ray, incl. zero-padded rays) must reject cleanly
+    # AND stay NaN-free under reverse-mode AD: a plain 1/det would emit
+    # inf whose zero cotangent still yields 0 * inf = NaN in the backward
+    # scatter. Double-where keeps every intermediate finite.
+    degenerate = det == 0
+    det_safe = jnp.where(degenerate, 1.0, det)
+    inv_det = jnp.where(degenerate, 0.0, 1.0 / det_safe)
     u = u_num * inv_det
     v = v_num * inv_det
     t = t_num * inv_det
     w = 1.0 - u - v
-    accept = (u >= 0) & (v >= 0) & (w >= 0) & (t >= tmin) & (t <= tmax)
+    accept = ((u >= 0) & (v >= 0) & (w >= 0) & (t >= tmin) & (t <= tmax)
+              & ~degenerate)
     if valid is not None:
         accept = accept & valid
     return jnp.where(accept, t, jnp.inf), u, v, accept

@@ -1,0 +1,200 @@
+"""shard_map rendering over a TPU device mesh.
+
+The reference's only parallelism is one OpenMP ``parallel for`` over the
+pixel grid (include/render.hpp:104). The TPU-native mapping (SURVEY.md §2
+parallelism table):
+
+  * rays/pixels  -> "rays" mesh axis: each chip renders a contiguous block
+    of image rows, generating its rays on-device from its row offset (no
+    host->device ray shipping). Geometry + camera are replicated, so the
+    backward pass psums scene-parameter gradients across chips — XLA
+    inserts and overlaps the collectives.
+  * frames       -> "frames" mesh axis: animation keyframes batched across
+    a second mesh dimension (the reference renders frames serially,
+    include/anim.cpp:82).
+
+Stats are psum'd over the mesh so every shard returns the global counts
+(the reference's OpenMP reduction at render.hpp:104).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ceres_tpu.models.camera import Camera, camera_rays_rows
+from ceres_tpu.models.mesh import triangle_soup
+from ceres_tpu.models.transform import Transform
+from ceres_tpu.render.renderer import RenderConfig, render_wavefront
+
+
+def device_mesh(
+    num_frames_axis: int = 1, devices=None
+) -> Mesh:
+    """A ("frames", "rays") mesh over the available devices.
+
+    With ``num_frames_axis=1`` this is the pure ray-sharded (data-parallel)
+    mesh; larger values split devices between frame-batching and
+    ray-sharding.
+    """
+    import numpy as np
+
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n % num_frames_axis:
+        raise ValueError(f"{n} devices not divisible by frames axis "
+                         f"{num_frames_axis}")
+    return Mesh(devices.reshape(num_frames_axis, n // num_frames_axis),
+                ("frames", "rays"))
+
+
+def _pad_rows(height: int, n_shards: int) -> int:
+    return -(-height // n_shards)
+
+
+def _render_rows(verts, faces, camera, sun, row0, h_local, config):
+    """Render ``h_local`` image rows starting at row0 (traced scalar)."""
+    soup = triangle_soup(verts, faces, with_normals=config.mode == "smooth")
+    dirs = camera_rays_rows(camera, config.width, config.height,
+                            row0, h_local).reshape(-1, 3)
+    color, stats = render_wavefront(soup, camera, sun, dirs, config)
+    return color.reshape(h_local, config.width, 3), stats
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _render_sharded_jit(vertices, faces, camera, sun, config, mesh):
+    n = mesh.shape["rays"]
+    h_local = _pad_rows(config.height, n)
+    row0 = jnp.arange(n, dtype=vertices.dtype) * h_local  # (n,)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rays")),
+        out_specs=(P("rays"), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    def fn(verts, faces_, cam, sun_, row0_shard):
+        color, stats = _render_rows(verts, faces_, cam, sun_,
+                                    row0_shard[0], h_local, config)
+        stats = jax.tree.map(
+            lambda x: jax.lax.psum(x, ("frames", "rays")), stats)
+        return color, stats
+
+    image, stats = fn(vertices, faces, camera, sun, row0)
+    return image[:config.height], stats
+
+
+def render_sharded(
+    vertices,
+    faces,
+    camera: Camera,
+    sun_position,
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Multi-chip render: rows sharded over the mesh's "rays" axis.
+
+    Drop-in equivalent of ceres_tpu.render.renderer.render — same image,
+    same stats — with the wavefront split across chips. Differentiable:
+    grads of replicated inputs (vertices, camera, sun) are psum'd across
+    the mesh by shard_map's transpose.
+    """
+    import dataclasses
+
+    config = dataclasses.replace(config or RenderConfig(), **kwargs)
+    if mesh is None:
+        mesh = device_mesh()
+    vertices = jnp.asarray(vertices)
+    faces = jnp.asarray(faces)
+    sun_position = jnp.asarray(sun_position, vertices.dtype)
+    return _render_sharded_jit(vertices, faces, camera, sun_position,
+                               config, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "num_frames"))
+def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
+                       config, mesh, num_frames):
+    """Animation frames over the "frames" axis x rows over "rays"."""
+    nf = mesh.shape["frames"]
+    nr = mesh.shape["rays"]
+    if num_frames % nf:
+        raise ValueError(f"{num_frames} frames not divisible by mesh "
+                         f"frames axis {nf}")
+    h_local = _pad_rows(config.height, nr)
+    row0 = jnp.arange(nr, dtype=vertices.dtype) * h_local
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("frames"), P("rays")),
+        out_specs=(P("frames", "rays"), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    def fn(verts, faces_, cam, sun_, tf_shard, row0_shard):
+        def one_frame(tf):
+            # Per-frame rigid transform applied to camera + sun (the
+            # turntable of anim.cpp:87-89 generalized to any keyframe
+            # track).
+            cam_f = Camera(eye=tf(cam.eye), dir=tf.a @ cam.dir,
+                           up=cam.up, fov=cam.fov)
+            sun_f = tf(sun_)
+            color, stats = _render_rows(verts, faces_, cam_f, sun_f,
+                                        row0_shard[0], h_local, config)
+            return color, stats
+
+        colors, stats = jax.lax.map(one_frame, tf_shard)
+        stats = jax.tree.map(
+            lambda x: jax.lax.psum(jnp.sum(x), ("frames", "rays")), stats)
+        return colors, stats
+
+    frames, stats = fn(vertices, faces, camera, sun, frame_transforms, row0)
+    return frames[:, :config.height], stats
+
+
+def render_frames_sharded(
+    vertices,
+    faces,
+    camera: Camera,
+    sun_position,
+    frame_transforms: Transform,  # stacked pytree, leading dim = num_frames
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Batched multi-frame render (BASELINE config 5).
+
+    ``frame_transforms`` is a Transform pytree whose leaves have a leading
+    frame axis (e.g. from turntable_transforms); frames shard over the
+    "frames" mesh axis, rows over "rays". Returns ((F, H, W, 3), stats).
+    """
+    import dataclasses
+
+    config = dataclasses.replace(config or RenderConfig(), **kwargs)
+    if mesh is None:
+        mesh = device_mesh()
+    num_frames = jax.tree.leaves(frame_transforms)[0].shape[0]
+    vertices = jnp.asarray(vertices)
+    faces = jnp.asarray(faces)
+    sun_position = jnp.asarray(sun_position, vertices.dtype)
+    return _render_frames_jit(vertices, faces, camera, sun_position,
+                              frame_transforms, config, mesh, num_frames)
+
+
+def turntable_transforms(num_frames: int, axis=(0.0, 1.0, 0.0),
+                         dtype=jnp.float32) -> Transform:
+    """The anim app's camera path: frame i rotates by i * 360/N degrees
+    about ``axis`` (include/anim.cpp:77-89), as a stacked Transform."""
+    angles = (jnp.arange(num_frames, dtype=dtype)
+              * (2.0 * jnp.pi / num_frames))
+    axis = jnp.asarray(axis, dtype)
+
+    def make(angle):
+        return Transform.identity(dtype).rotate(axis, angle)
+
+    return jax.vmap(make)(angles)

@@ -67,7 +67,7 @@ def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str) -> 
     raise ValueError(f"unknown backend: {backend}")
 
 
-def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str):
+def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None):
     """Occlusion test for the generic-origin shadow wavefront."""
     # Shift the world to the scene reference point so |o| stays small in the
     # d x o feature terms (conditioning; the result is shift-invariant).
@@ -79,7 +79,7 @@ def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str):
     elif backend == "megakernel":
         from ceres_tpu.ops import megakernel
 
-        return megakernel.any_hit(soup, center, origins, dirs)
+        return megakernel.any_hit(soup, center, origins, dirs, skip=skip)
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -100,12 +100,19 @@ def render_wavefront(
     p1 = p0 - soup.e1[prim]
     p2 = p0 + soup.e2[prim]
     n = soup.n[prim]
-    point = u[:, None] * p0 + v[:, None] * p1 + w[:, None] * p2
+    # True barycentrics of this MT variant: (w, u, v) weight (p0, p1, p2) —
+    # verify with o + t*d. NOTE this deliberately DIFFERS from the
+    # reference, whose interpolation u*p0 + v*p1 + w*p2 (render.hpp:127-129)
+    # mis-assigns the weights: its "hit point" does not lie on the ray,
+    # shifting shadow origins and producing shading seams across shared
+    # edges. We reconstruct the actual intersection point.
+    point = w[:, None] * p0 + u[:, None] * p1 + v[:, None] * p2
     point = point + SELF_INTERSECT_OFFSET * _normalize(n)
     sun_line = _normalize(sun_position[None, :] - point)
 
     if config.shadows:
-        occluded = _any_shadow(soup, point, sun_line, config.backend)
+        occluded = _any_shadow(soup, point, sun_line, config.backend,
+                               skip=~hit.mask)
     else:
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 

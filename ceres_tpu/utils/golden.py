@@ -116,7 +116,10 @@ def render_golden(vertices, faces, eye, cam_dir, up, fov, sun, width, height,
     tri = hit_id[hi]
     hu, hv = u[hi], v[hi]
     hw = 1.0 - hu - hv
-    point = (hu[:, None] * p0[tri] + hv[:, None] * p1[tri] + hw[:, None] * p2[tri])
+    # True barycentrics (w, u, v) on (p0, p1, p2) — deliberately fixes the
+    # reference's mis-assigned interpolation (render.hpp:127-129), see
+    # ceres_tpu.render.renderer.
+    point = (hw[:, None] * p0[tri] + hu[:, None] * p1[tri] + hv[:, None] * p2[tri])
     point = point + (-1e-5) * normalize(n[tri])
     sun_line = normalize(sun[None, :] - point)
     occluded = any_hit(point, sun_line, p0, e1, e2, n)
@@ -132,7 +135,7 @@ def render_golden(vertices, faces, eye, cam_dir, up, fov, sun, width, height,
     cn = corner_normals[tri]  # (K, 3, 3)
     neg_view = -view_flat[hi]
     color = np.zeros((len(hi), 3), dtype)
-    weights = [hu, hv, hw]
+    weights = [hw, hu, hv]  # true barycentrics for corners (0, 1, 2)
     tint = np.asarray(shading_consts.TINT, dtype)
     for kk in range(3):
         nk = cn[:, kk, :]

@@ -6,7 +6,15 @@ Must run before jax initializes a backend; pytest imports conftest first.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon baked in, so env vars set here are too late — override
+# via jax.config instead. Tests always run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: XLA-CPU compiles dominate test time otherwise.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ceres_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")

@@ -1,0 +1,150 @@
+"""Megakernel (Pallas, interpret mode on CPU) vs brute force and golden.
+
+Mirrors SURVEY.md §4 item 3: traversal equivalence — the accelerated path
+must reproduce the exhaustive all-triangles intersection on every ray.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ceres_tpu.accel import clusters as cl
+from ceres_tpu.models.camera import Camera
+from ceres_tpu.models.mesh import triangle_soup, TriangleSoup
+from ceres_tpu.ops import intersect as mt
+from ceres_tpu.ops import megakernel as mk
+from ceres_tpu.render.renderer import render
+
+
+def _random_scene(rng, V=60, F=120):
+    verts = rng.standard_normal((V, 3)).astype(np.float32)
+    faces = rng.integers(0, V, (F, 3)).astype(np.int32)
+    return triangle_soup(jnp.asarray(verts), jnp.asarray(faces), with_normals=False)
+
+
+def _random_dirs(rng, R):
+    d = rng.standard_normal((R, 3)).astype(np.float32)
+    return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+
+class TestClusters:
+    def test_perm_is_permutation(self, rng):
+        soup = _random_scene(rng, F=150)
+        cs = cl.build_clusters(soup)
+        perm = np.asarray(cs.perm)
+        real = perm[perm >= 0]
+        assert sorted(real.tolist()) == list(range(150))
+        assert (perm < 0).sum() == cs.num_clusters * cs.cluster_size - 150
+
+    def test_aabbs_contain_triangles(self, rng):
+        soup = _random_scene(rng)
+        cs = cl.build_clusters(soup)
+        pts = np.stack([np.asarray(cs.p0), np.asarray(cs.p0 - cs.e1),
+                        np.asarray(cs.p0 + cs.e2)], axis=2)  # (N_c, C, 3, 3)
+        valid = (np.asarray(cs.perm) >= 0).reshape(cs.num_clusters, cs.cluster_size)
+        lo = np.asarray(cs.lo)[:, None, None, :]
+        hi = np.asarray(cs.hi)[:, None, None, :]
+        ok = ((pts >= lo - 1e-6) & (pts <= hi + 1e-6)).all(axis=(2, 3))
+        assert ok[valid].all()
+
+    def test_cluster_members_match_soup(self, rng):
+        soup = _random_scene(rng)
+        cs = cl.build_clusters(soup)
+        perm = np.asarray(cs.perm)
+        flat_p0 = np.asarray(cs.p0).reshape(-1, 3)
+        valid = perm >= 0
+        np.testing.assert_allclose(
+            flat_p0[valid], np.asarray(soup.p0)[perm[valid]], rtol=0, atol=0)
+
+
+class TestClosestHit:
+    def test_matches_bruteforce(self, rng):
+        soup = _random_scene(rng)
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        dirs = _random_dirs(rng, 700)
+        bf = mt.closest_hit_bruteforce(
+            mt.ray_features_common_origin(dirs),
+            mt.triangle_weights_common_origin(soup, eye))
+        hit = mk.closest_hit_common_origin(soup, eye, dirs)
+        np.testing.assert_array_equal(np.asarray(bf.mask), np.asarray(hit.mask))
+        m = np.asarray(bf.mask)
+        np.testing.assert_allclose(np.asarray(bf.t)[m], np.asarray(hit.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+        assert (np.asarray(bf.prim_id)[m] == np.asarray(hit.prim_id)[m]).mean() > 0.99
+        np.testing.assert_allclose(np.asarray(bf.u)[m], np.asarray(hit.u)[m],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_multi_cluster_scene(self, rng):
+        # > cluster_size triangles so several clusters really exist.
+        soup = _random_scene(rng, V=200, F=400)
+        cs = cl.build_clusters(soup)
+        assert cs.num_clusters >= 3
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        dirs = _random_dirs(rng, 600)
+        bf = mt.closest_hit_bruteforce(
+            mt.ray_features_common_origin(dirs),
+            mt.triangle_weights_common_origin(soup, eye))
+        hit = mk.closest_hit_common_origin(soup, eye, dirs)
+        np.testing.assert_array_equal(np.asarray(bf.mask), np.asarray(hit.mask))
+        m = np.asarray(bf.mask)
+        np.testing.assert_allclose(np.asarray(bf.t)[m], np.asarray(hit.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestAnyHit:
+    def test_matches_bruteforce(self, rng):
+        soup = _random_scene(rng)
+        R = 600
+        origins = jnp.asarray(rng.standard_normal((R, 3)).astype(np.float32) * 0.1
+                              + np.array([0, 0, -4], np.float32))
+        dirs = _random_dirs(rng, R)
+        bf = mt.any_hit_bruteforce(mt.ray_features(origins, dirs),
+                                   mt.triangle_weights(soup))
+        center = jnp.mean(soup.p0, axis=0)
+        occ = mk.any_hit(soup, center, origins, dirs)
+        np.testing.assert_array_equal(np.asarray(bf), np.asarray(occ))
+
+    def test_skip_mask(self, rng):
+        soup = _random_scene(rng)
+        R = 256
+        origins = jnp.zeros((R, 3), jnp.float32) + jnp.asarray([0, 0, -4.0])
+        dirs = _random_dirs(rng, R)
+        skip = jnp.asarray(rng.random(R) < 0.5)
+        center = jnp.mean(soup.p0, axis=0)
+        occ = mk.any_hit(soup, center, origins, dirs, skip=skip)
+        assert not np.asarray(occ)[np.asarray(skip)].any()
+
+
+class TestRenderBackendEquivalence:
+    def test_bunny_render_matches_bruteforce(self, bunny):
+        verts, faces = bunny
+        eye = (0.0, 0.1, -0.3)
+        direction = tuple(verts.mean(axis=0) - np.asarray(eye, np.float32))
+        cam = Camera.make(eye=eye, dir=direction, up=(0, 1, 0), fov=60.0)
+        sun = np.asarray([-50.0, 100.0, 0.0], np.float32)
+        img_b, _ = render(verts, faces, cam, sun, width=64, height=64,
+                          backend="bruteforce")
+        img_m, _ = render(verts, faces, cam, sun, width=64, height=64,
+                          backend="megakernel")
+        d = np.abs(np.asarray(img_b) - np.asarray(img_m)).max(axis=-1)
+        # At most a couple of silhouette-tie pixels may differ.
+        assert (d > 1e-3).mean() < 1e-3
+
+    def test_gradients_match_bruteforce(self, bunny):
+        verts, faces = bunny
+        eye = (0.0, 0.1, -0.3)
+        direction = tuple(verts.mean(axis=0) - np.asarray(eye, np.float32))
+        cam = Camera.make(eye=eye, dir=direction, up=(0, 1, 0), fov=60.0)
+        sun = np.asarray([-50.0, 100.0, 0.0], np.float32)
+
+        def loss(v, backend):
+            img, _ = render(v, faces, cam, sun, width=24, height=24,
+                            backend=backend)
+            return jnp.sum(img ** 2)
+
+        gm = jax.grad(lambda v: loss(v, "megakernel"))(jnp.asarray(verts))
+        gb = jax.grad(lambda v: loss(v, "bruteforce"))(jnp.asarray(verts))
+        assert bool(jnp.all(jnp.isfinite(gm)))
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gb),
+                                   rtol=1e-3, atol=1e-4)

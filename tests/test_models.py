@@ -114,9 +114,10 @@ def test_smooth_shading_matches_golden(rng):
             jnp.asarray(v, jnp.float32),
         )
     )
-    # Golden corner loop (render.hpp:57-84).
+    # Golden corner loop (render.hpp:57-84) with the corrected true-
+    # barycentric corner weights (w, u, v) — see ceres_tpu.models.shading.
     color = np.zeros((n, 3))
-    weights = [u, v, 1 - u - v]
+    weights = [1 - u - v, u, v]
     for k in range(3):
         nk = corners[:, k, :]
         diffuse = 0.5 * np.abs(np.sum(sun_line * nk, axis=-1))
