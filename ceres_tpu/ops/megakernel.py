@@ -1,31 +1,30 @@
 """Pallas ray-traversal megakernel: cluster-culled Möller-Trumbore.
 
-This is the TPU replacement for the reference's per-ray BVH traversal hot
-loop (lib/bvh/single_ray_traverser.hpp:67-126 + triangle.hpp:95-115). The
-structure is inverted for a lockstep vector machine:
+TPU replacement for the reference's per-ray BVH traversal hot loop
+(lib/bvh/single_ray_traverser.hpp:67-126 + triangle.hpp:95-115), inverted
+for a lockstep vector machine and split into two phases so the Pallas
+kernel never pays scalar-branch synchronization per culled cluster:
 
-  * Rays are processed in tiles of ``TILE`` (512) — one grid step per tile.
-  * The scene is ``N_c`` morton-ordered clusters of ``C`` (128) triangles
-    (ceres_tpu.accel.clusters); their packed MT weight tensors live wholly
-    in VMEM, cluster AABBs in SMEM.
-  * Per (tile, cluster): a vectorized slab test of all rays against the
-    cluster AABB (the FastNodeIntersector test of node_intersectors.hpp:
-    83-103, vectorized over rays instead of specialized per octant), with
-    the closest-hit ``tmax``-shrinking bound (single_ray_traverser.hpp:59).
-    Only when any ray overlaps does the cluster's dense MT evaluation run —
-    rank-K broadcast outer products (K = 4 common-origin / 10 generic, see
-    ceres_tpu.ops.intersect for the factorization) over an (R, C) tile.
-  * Closest hit keeps per-ray (t, u, v, packed id) in the output block;
-    any-hit keeps an occlusion mask and early-exits once every ray is done
-    (AnyPrimitiveIntersector semantics, primitive_intersectors.hpp:58-76).
+  1. **Culling prepass (pure JAX, dense).** Rays arrive in spatially
+     coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Every
+     (ray, cluster) slab test is evaluated as one dense vectorized pass —
+     the FastNodeIntersector test (node_intersectors.hpp:83-103) over all
+     pairs at once — then reduced to a per-tile *compacted list* of
+     overlapping cluster ids. XLA fuses this; there is no divergence and
+     no scalar sync.
+  2. **Intersection kernel (Pallas).** Per tile, a while-loop over exactly
+     ``count[tile]`` list entries — the actual work, typically a handful —
+     evaluating each cluster's 128 triangles against all 512 rays as
+     rank-K broadcast outer products (K = 4 common-origin / 10 generic;
+     see ceres_tpu.ops.intersect for the Möller-Trumbore factorization)
+     and keeping per-ray closest (t, u, v, id) or an any-hit flag
+     (AnyPrimitiveIntersector semantics, primitive_intersectors.hpp:58-76).
+     Cluster weight tensors are VMEM-resident; the loop body is branch-free.
 
-Divergence never exists: control flow is two scalar decisions per
-(tile, cluster), everything else is dense vector work.
-
-Gradients: ``closest_hit_common_origin`` carries a custom VJP — the
-backward pass re-derives the winning (ray, triangle) intersection
-analytically in plain JAX and scatters grads to the triangle records and
-camera, the standard detached-visibility differentiable-rendering scheme.
+Gradients: ``closest_hit_common_origin`` carries a custom VJP — backward
+re-derives the winning intersections analytically in plain JAX (R winners,
+not R x T pairs) and scatters grads to triangle records / camera / rays;
+visibility stays detached (standard differentiable-rendering convention).
 Occlusion (any-hit) is boolean and intentionally gradient-free.
 """
 
@@ -42,9 +41,10 @@ from ceres_tpu.accel import clusters as cl
 from ceres_tpu.models.mesh import TriangleSoup
 from ceres_tpu.ops.intersect import Hit
 
-TILE = 512            # rays per grid step
-_BIG = 3.0e37    # "no hit yet" sentinel, finite to keep slab math NaN-free
+TILE = 1024        # rays per grid step (= one 32 x 32 pixel block)
+_BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _INV_CLAMP = 1e30
+_PREPASS_TILES = 32  # tiles per chunk in the dense culling prepass
 
 
 def _interpret() -> bool:
@@ -56,6 +56,80 @@ def _safe_inverse(d):
     sign = jnp.where(d >= 0, 1.0, -1.0)
     return jnp.where(jnp.abs(d) < 1e-30, sign * _INV_CLAMP, 1.0 / d)
 
+
+# ---------------------------------------------------------------------------
+# Phase 1: dense culling prepass (pure JAX)
+# ---------------------------------------------------------------------------
+
+def _overlap_mask(lo, hi, origins, dirs):
+    """Slab overlap of rays (chunk, R, 3) vs clusters (N_c, 3) -> (chunk, R, N_c).
+
+    ``origins`` may be None (rays from the coordinate origin). tmin = 0,
+    tmax = +BIG: conservative, the kernel's accept does the exact test.
+    """
+    inv = _safe_inverse(dirs)                                # (..., R, 3)
+    if origins is None:
+        t0 = lo[None, None] * inv[..., None, :]              # (c, R, N_c, 3)
+        t1 = hi[None, None] * inv[..., None, :]
+    else:
+        rel_lo = lo[None, None] - origins[..., None, :]
+        rel_hi = hi[None, None] - origins[..., None, :]
+        t0 = rel_lo * inv[..., None, :]
+        t1 = rel_hi * inv[..., None, :]
+    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    return jnp.maximum(tn, 0.0) <= jnp.minimum(tf, _BIG)
+
+
+def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
+    """Compacted per-tile overlapping-cluster lists.
+
+    dirs_tiled: (n_tiles, R, 3). Returns (lists (n_tiles, N_c) int32 with
+    overlapping ids first, counts (n_tiles, 1) int32). Chunked over tiles
+    to bound the dense (R, N_c) live set.
+    """
+    n_tiles = dirs_tiled.shape[0]
+    pad = (-n_tiles) % _PREPASS_TILES
+
+    def padt(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    dirs_p = padt(dirs_tiled).reshape(
+        (-1, _PREPASS_TILES) + dirs_tiled.shape[1:])
+    if origins_tiled is not None:
+        orig_p = padt(origins_tiled).reshape(dirs_p.shape)
+    if alive is not None:
+        alive_p = padt(alive).reshape(dirs_p.shape[:3])
+
+    def chunk_fn(args):
+        if origins_tiled is None:
+            d = args if alive is None else args[0]
+            m = _overlap_mask(lo, hi, None, d)
+        else:
+            d, o = args[:2]
+            m = _overlap_mask(lo, hi, o, d)
+        if alive is not None:
+            m = m & args[-1][..., None]
+        return jnp.any(m, axis=1)  # (chunk, N_c) any over rays
+
+    if origins_tiled is None and alive is None:
+        per_tile = jax.lax.map(chunk_fn, dirs_p)
+    elif origins_tiled is None:
+        per_tile = jax.lax.map(chunk_fn, (dirs_p, alive_p))
+    elif alive is None:
+        per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p))
+    else:
+        per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p, alive_p))
+
+    mask = per_tile.reshape(-1, lo.shape[0])[:n_tiles]     # (n_tiles, N_c)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)[:, None, None]
+    lists = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+    return lists[:, None, :], counts
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: Pallas kernels
+# ---------------------------------------------------------------------------
 
 def _mt_channels(wj, coeffs, nk):
     """Evaluate the 4 MT numerator channels for one cluster over a ray tile.
@@ -72,114 +146,77 @@ def _mt_channels(wj, coeffs, nk):
     return outs
 
 
-def _decode_update(nu, nv, nd, nt, tmin, t_cur):
-    """Accept mask + per-ray closest candidate within one cluster."""
-    inv_det = 1.0 / nd
-    uu = nu * inv_det
-    vv = nv * inv_det
-    tt = nt * inv_det
-    wbar = 1.0 - uu - vv
-    # NaN-safe accept (triangle.hpp:106-110): NaN compares are False.
-    acc = (uu >= 0) & (vv >= 0) & (wbar >= 0) & (tt >= tmin) & (tt <= t_cur[:, None])
-    tpair = jnp.where(acc, tt, _BIG)
-    t_min = jnp.min(tpair, axis=1)                        # (R,)
-    C = nu.shape[1]
-    ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
-    winner = tpair <= t_min[:, None]
-    idx = jnp.min(jnp.where(winner, ids, C), axis=1)      # lowest-index winner
-    onehot = ids == idx[:, None]
-    u_best = jnp.sum(jnp.where(onehot, uu, 0.0), axis=1)
-    v_best = jnp.sum(jnp.where(onehot, vv, 0.0), axis=1)
-    return t_min, u_best, v_best, idx
+def _accept_sign(nu, nv, nd, nt):
+    """Division-free MT accept: u,v,w,t >= 0 as sign tests on numerators.
 
-
-def _slab(box_ref, j, o_or_none, inv_d, tmin, t_far):
-    """Vectorized ray/AABB slab test -> (R,) overlap mask.
-
-    Entry/exit ordering keeps the robust_min/max NaN semantics of
-    node_intersectors.hpp:35-47 by clamping the inverse instead of allowing
-    0 * inf.
+    u = nu/det >= 0  <=>  nu * sign(det) >= 0 (det != 0), etc; w's numerator
+    is det - nu - nv. Reproduces the reference's accept set
+    (triangle.hpp:106-110) including its NaN/degenerate rejections, without
+    materializing the divisions.
     """
-    tn = jnp.full_like(t_far, tmin)
-    tf = t_far
-    for a in range(3):
-        lo_a = box_ref[a, j]
-        hi_a = box_ref[3 + a, j]
-        if o_or_none is None:
-            t0 = lo_a * inv_d[a]
-            t1 = hi_a * inv_d[a]
-        else:
-            t0 = (lo_a - o_or_none[a]) * inv_d[a]
-            t1 = (hi_a - o_or_none[a]) * inv_d[a]
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    return tn <= tf
+    s = jnp.where(nd >= 0, 1.0, -1.0)
+    return ((nu * s >= 0) & (nv * s >= 0)
+            & ((nd - nu - nv) * s >= 0) & (nt * s >= 0) & (nd != 0))
 
 
-# ---------------------------------------------------------------------------
-# Closest-hit kernel (common-origin rays: the primary wavefront)
-# ---------------------------------------------------------------------------
-
-def _closest_kernel(num_clusters, sc_ref, box_ref, d_ref, w_ref,
-                    t_ref, u_ref, v_ref, id_ref):
+def _closest_kernel(sc_ref, cnt_ref, list_ref, d_ref, w_ref,
+                    t_ref, id_ref):
     tmin = sc_ref[0, 0]
+    count = cnt_ref[0, 0, 0]
     d = d_ref[0]                      # (R, 3)
-    inv_d = [_safe_inverse(d[:, a]) for a in range(3)]
-
-    t_ref[0, 0, :] = jnp.full((d.shape[0],), _BIG)
-    u_ref[0, 0, :] = jnp.zeros((d.shape[0],))
-    v_ref[0, 0, :] = jnp.zeros((d.shape[0],))
-    id_ref[0, 0, :] = jnp.full((d.shape[0],), -1, jnp.int32)
-
+    R = d.shape[0]
     C = w_ref.shape[3]
 
-    def body(j, _):
-        t_cur = t_ref[0, 0, :]
-        overlap = _slab(box_ref, j, None, inv_d, tmin, t_cur)
+    t_ref[0, 0, :] = jnp.full((R,), _BIG)
+    id_ref[0, 0, :] = jnp.full((R,), -1, jnp.int32)
 
-        @pl.when(jnp.any(overlap))
-        def _():
-            wj = w_ref[j]             # (4, Kp, C)
-            nu, nv, nd, nt = _mt_channels(wj, d, 3)
-            t_c = t_ref[0, 0, :]
-            t_min, u_b, v_b, idx = _decode_update(nu, nv, nd, nt, tmin, t_c)
-            better = t_min < t_c
-            t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
-            u_ref[0, 0, :] = jnp.where(better, u_b, u_ref[0, 0, :])
-            v_ref[0, 0, :] = jnp.where(better, v_b, v_ref[0, 0, :])
-            id_ref[0, 0, :] = jnp.where(better, j * C + idx, id_ref[0, 0, :])
-
+    def body(k, _):
+        cid = list_ref[0, 0, k]
+        wj = w_ref[cid]               # (4, Kp, C)
+        nu, nv, nd, nt = _mt_channels(wj, d, 3)
+        t_c = t_ref[0, 0, :]
+        acc = _accept_sign(nu, nv, nd, nt)
+        tt = nt / jnp.where(nd != 0, nd, 1.0)
+        tpair = jnp.where(acc & (tt >= tmin) & (tt <= t_c[:, None]), tt, _BIG)
+        t_min = jnp.min(tpair, axis=1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
+        idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, C), axis=1)
+        better = t_min < t_c
+        t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
+        id_ref[0, 0, :] = jnp.where(better, cid * C + idx, id_ref[0, 0, :])
         return 0
 
-    jax.lax.fori_loop(0, num_clusters, body, 0)
+    jax.lax.fori_loop(0, count, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_pallas(dirs_tiled, weights, boxes, scalars, interpret):
+def _closest_pallas(dirs_tiled, weights, lists, counts, scalars, interpret):
     n_tiles, R, _ = dirs_tiled.shape
     n_c = weights.shape[0]
-    kernel = functools.partial(_closest_kernel, n_c)
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kernel,
+        _closest_kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, n_c), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(weights.shape, lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 2,
         out_shape=out_shape,
         interpret=interpret,
-    )(scalars, boxes, dirs_tiled, weights)
+    )(scalars, counts, lists, dirs_tiled, weights)
 
 
 def _pack_weights(w):
@@ -206,19 +243,26 @@ def _closest_forward(p0, e1, e2, n, eye, dirs):
     soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=n)
     cs = cl.build_clusters(soup)
     w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
-    boxes = jnp.concatenate([cs.lo.T, cs.hi.T], axis=0)  # (6, N_c)
-    # Shift boxes by the origin so the kernel's slab test is origin-free.
-    boxes = boxes - jnp.concatenate([eye, eye])[:, None]
-    scalars = jnp.array([[0.0, 0.0]], jnp.float32)  # tmin, spare
+    # Shift cluster boxes by the origin so slab tests are origin-free.
+    lo = jax.lax.stop_gradient(cs.lo - eye)
+    hi = jax.lax.stop_gradient(cs.hi - eye)
     dirs_tiled = _tile_rays(dirs, TILE)
-    t, u, v, pidx = _closest_pallas(dirs_tiled, w, boxes, scalars, _interpret())
+    lists, counts = _tile_cluster_lists(lo, hi, jax.lax.stop_gradient(dirs_tiled))
+    scalars = jnp.array([[0.0, 0.0]], jnp.float32)  # tmin, spare
+    t, pidx = _closest_pallas(dirs_tiled, w, lists, counts, scalars,
+                              _interpret())
     t = t.reshape(-1)[:R]
-    u = u.reshape(-1)[:R]
-    v = v.reshape(-1)[:R]
     pidx = pidx.reshape(-1)[:R]
     mask = pidx >= 0
     prim = jnp.where(mask, cs.perm[jnp.clip(pidx, 0)], 0).astype(jnp.int32)
     t = jnp.where(mask, t, jnp.inf)
+    # u, v recomputed for the R winners only (keeps the kernel loop lean;
+    # identical formulas -> identical values).
+    tw, uw, vw = _winner_tuv(soup.p0[prim], soup.e1[prim], soup.e2[prim],
+                             soup.n[prim], eye, dirs)
+    u = jnp.where(mask, uw, 0.0)
+    v = jnp.where(mask, vw, 0.0)
+    del tw
     return Hit(t=t, u=u, v=v, prim_id=prim, mask=mask)
 
 
@@ -279,59 +323,45 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs) -> Hit:
     return _closest_hit(soup.p0, soup.e1, soup.e2, soup.n, eye, dirs)
 
 
-# ---------------------------------------------------------------------------
-# Any-hit kernel (generic-origin rays: the shadow wavefront)
-# ---------------------------------------------------------------------------
-
-def _any_kernel(num_clusters, sc_ref, box_ref, f_ref, skip_ref, w_ref, occ_ref):
+def _any_kernel(sc_ref, cnt_ref, list_ref, f_ref, skip_ref, w_ref, occ_ref):
     tmin = sc_ref[0, 0]
     tmax = sc_ref[0, 1]
+    count = cnt_ref[0, 0, 0]
     f = f_ref[0]                        # (R, 9): [d, d x o, o]
-    inv_d = [_safe_inverse(f[:, a]) for a in range(3)]
-    o = [f[:, 6 + a] for a in range(3)]
-
     occ_ref[0, 0, :] = skip_ref[0, 0, :]
-    R = f.shape[0]
-    t_far = jnp.full((R,), tmax)
 
-    def body(j, done):
-        @pl.when(jnp.logical_not(done))
-        def _():
-            occ = occ_ref[0, 0, :]
-            overlap = _slab(box_ref, j, o, inv_d, tmin, t_far) & (occ == 0)
+    del tmin, tmax  # tmin = 0 / tmax = inf are the sign tests below
 
-            @pl.when(jnp.any(overlap))
-            def _():
-                wj = w_ref[j]           # (4, Kp, C)
-                nu, nv, nd, nt = _mt_channels(wj, f, 9)
-                inv_det = 1.0 / nd
-                uu = nu * inv_det
-                vv = nv * inv_det
-                tt = nt * inv_det
-                wbar = 1.0 - uu - vv
-                acc = ((uu >= 0) & (vv >= 0) & (wbar >= 0)
-                       & (tt >= tmin) & (tt <= tmax))
-                hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
-                occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
+    def body(k, _):
+        cid = list_ref[0, 0, k]
+        wj = w_ref[cid]                 # (4, Kp, C)
+        nu, nv, nd, nt = _mt_channels(wj, f, 9)
+        acc = _accept_sign(nu, nv, nd, nt)  # t in [0, inf): sign test only
+        hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
+        occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
+        return 0
 
-        return done | jnp.all(occ_ref[0, 0, :] == 1)
-
-    jax.lax.fori_loop(0, num_clusters, body, False)
+    jax.lax.fori_loop(0, count, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _any_pallas(feats_tiled, skip_tiled, weights, boxes, scalars, interpret):
+def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, scalars,
+                interpret):
     n_tiles, R, _ = feats_tiled.shape
     n_c = weights.shape[0]
-    kernel = functools.partial(_any_kernel, n_c)
     return pl.pallas_call(
-        kernel,
+        _any_kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, n_c), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, 9), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, 9), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(weights.shape, lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -339,7 +369,7 @@ def _any_pallas(feats_tiled, skip_tiled, weights, boxes, scalars, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
         interpret=interpret,
-    )(scalars, boxes, feats_tiled, skip_tiled, weights)
+    )(scalars, counts, lists, feats_tiled, skip_tiled, weights)
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
@@ -355,16 +385,20 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
     R = dirs.shape[0]
     cs = cl.build_clusters(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
-    boxes = jnp.concatenate([cs.lo.T, cs.hi.T], axis=0)
-    boxes = boxes - jnp.concatenate([shift, shift])[:, None]
+    lo = cs.lo - shift
+    hi = cs.hi - shift
     o = origins - shift
-    feats = jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1)  # (R, 9)
     if skip is None:
         skip = jnp.zeros((R,), bool)
+    dirs_tiled = _tile_rays(dirs, TILE)
+    orig_tiled = _tile_rays(o, TILE)
+    alive = _tile_rays(~skip, TILE)
+    lists, counts = _tile_cluster_lists(lo, hi, dirs_tiled, orig_tiled, alive)
+    feats = jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1)  # (R, 9)
     scalars = jnp.array([[0.0, _BIG]], jnp.float32)
     occ = _any_pallas(
         _tile_rays(feats, TILE),
         _tile_rays(skip.astype(jnp.int32), TILE)[:, None, :],
-        w, boxes, scalars, _interpret(),
+        w, lists, counts, scalars, _interpret(),
     )
     return (occ.reshape(-1)[:R] == 1) & ~skip

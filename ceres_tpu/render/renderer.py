@@ -157,7 +157,22 @@ def render_pipeline(
         # Clean error like the reference's empty-scene check (anim.cpp:39-42).
         raise ValueError("scene has no triangles")
     soup = triangle_soup(vertices, faces, with_normals=config.mode == "smooth")
-    dirs = camera_rays(camera, config.width, config.height).reshape(-1, 3)
+    dirs_hw = camera_rays(camera, config.width, config.height)
+    if config.backend == "megakernel":
+        # Pixel-block ray order: each 512-ray kernel tile is a compact
+        # 16 x 32 screen block, so cluster culling bites (utils.tiling).
+        from ceres_tpu.utils import tiling
+
+        dirs = tiling.swizzle(dirs_hw)
+        color, stats = render_wavefront(soup, camera, sun_position, dirs,
+                                        config)
+        image = tiling.unswizzle(color, config.height, config.width)
+        # Padded rays are inert (zero dirs -> no hit) but subtract their
+        # count from the traversal stats for reference-parity numbers.
+        stats["rays"] = stats["rays"] - (dirs.shape[0]
+                                         - config.height * config.width)
+        return image, stats
+    dirs = dirs_hw.reshape(-1, 3)
     color, stats = render_wavefront(soup, camera, sun_position, dirs, config)
     return color.reshape(config.height, config.width, 3), stats
 

@@ -143,8 +143,11 @@ class TestRenderBackendEquivalence:
                             backend=backend)
             return jnp.sum(img ** 2)
 
-        gm = jax.grad(lambda v: loss(v, "megakernel"))(jnp.asarray(verts))
-        gb = jax.grad(lambda v: loss(v, "bruteforce"))(jnp.asarray(verts))
-        assert bool(jnp.all(jnp.isfinite(gm)))
-        np.testing.assert_allclose(np.asarray(gm), np.asarray(gb),
-                                   rtol=1e-3, atol=1e-4)
+        gm = np.asarray(jax.grad(lambda v: loss(v, "megakernel"))(jnp.asarray(verts)))
+        gb = np.asarray(jax.grad(lambda v: loss(v, "bruteforce"))(jnp.asarray(verts)))
+        assert np.isfinite(gm).all()
+        # atol scaled to the gradient magnitude: the two backends reduce in
+        # different orders (swizzled tiles vs raster), so absolute f32 noise
+        # tracks the largest gradient entries.
+        np.testing.assert_allclose(gm, gb, rtol=1e-3,
+                                   atol=3e-6 * np.abs(gb).max())
