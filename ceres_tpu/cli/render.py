@@ -50,11 +50,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip shadow rays")
     p.add_argument("--sharded", action="store_true",
                    help="shard rays across all available devices")
+    p.add_argument("-d", "--double", action="store_true",
+                   help="render in float64 (the reference's '-d' Scalar "
+                        "axis, anim.cpp:145-158); forces the bruteforce "
+                        "backend")
     return p
 
 
 def run(args) -> int:
     import numpy as np
+
+    if args.double:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        if args.backend == "megakernel":
+            print("note: --double uses the bruteforce backend "
+                  "(the megakernel is f32 TPU hardware)")
+            args.backend = "bruteforce"
 
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera
@@ -75,12 +88,15 @@ def run(args) -> int:
         vertices = np.asarray(
             rotate_vertices_about_axis(vertices, axis, float(args.rotate[1])))
 
-    eye = np.asarray(args.eye, np.float32)
-    direction = (np.asarray(args.direction, np.float32)
+    scalar = np.float64 if args.double else np.float32
+    vertices = np.asarray(vertices, scalar)
+    eye = np.asarray(args.eye, scalar)
+    direction = (np.asarray(args.direction, scalar)
                  if args.direction is not None
                  else vertices.mean(axis=0) - eye)
-    camera = Camera.make(eye=eye, dir=direction, up=args.up, fov=args.fov)
-    sun = np.asarray(args.sun, np.float32)
+    camera = Camera.make(eye=eye, dir=direction, up=args.up, fov=args.fov,
+                         dtype=scalar)
+    sun = np.asarray(args.sun, scalar)
 
     t1 = time.perf_counter()
     if args.sharded:

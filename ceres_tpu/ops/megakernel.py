@@ -372,6 +372,44 @@ def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, scalars,
     )(scalars, counts, lists, feats_tiled, skip_tiled, weights)
 
 
+def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
+    """(traversal_steps, intersections) for the primary wavefront.
+
+    The SingleRayTraverser::Statistics capability
+    (single_ray_traverser.hpp:131-163), recast for the cluster structure:
+    ``traversal_steps`` counts kernel (tile, cluster) loop iterations (the
+    analog of node visits), ``intersections`` the Möller-Trumbore pair
+    evaluations those iterations perform (TILE rays x cluster_size
+    triangles each, padding tiles included). Pure prepass math — inside
+    one jit with the render the cluster build and culling lists are CSEd,
+    so the counters are effectively free, like the reference's no-op
+    counter trick (:146-152).
+    """
+    soup, eye, dirs = jax.lax.stop_gradient((soup, eye, dirs))
+    cs = cl.build_clusters(soup)
+    dirs_tiled = _tile_rays(dirs, TILE)
+    _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
+    steps = jnp.sum(counts)
+    return steps, steps * TILE * cs.cluster_size
+
+
+def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
+                         skip=None):
+    """(traversal_steps, intersections) for a generic-origin wavefront."""
+    soup, origin_shift, origins, dirs = jax.lax.stop_gradient(
+        (soup, origin_shift, origins, dirs))
+    cs = cl.build_clusters(soup)
+    lo = cs.lo - origin_shift
+    hi = cs.hi - origin_shift
+    if skip is None:
+        skip = jnp.zeros(dirs.shape[:1], bool)
+    _, counts = _tile_cluster_lists(
+        lo, hi, _tile_rays(dirs, TILE),
+        _tile_rays(origins - origin_shift, TILE), _tile_rays(~skip, TILE))
+    steps = jnp.sum(counts)
+    return steps, steps * TILE * cs.cluster_size
+
+
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
     """Occlusion test: True where a ray (origins[i], dirs[i]) hits anything.
 

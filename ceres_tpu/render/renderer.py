@@ -48,10 +48,20 @@ class RenderConfig:
     mode: str = "smooth"       # "smooth" | "flat" | "normal"
     backend: str = "bruteforce"  # "megakernel" | "bruteforce"
     shadows: bool = True
+    # Also report traversal_steps / intersections counters — the library's
+    # Statistics mechanism (single_ray_traverser.hpp:131-163), distinct
+    # from the app-level rays/hits counts (SURVEY.md §3.5 wants both).
+    traversal_stats: bool = False
 
 
 def _normalize(v):
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _scene_center(soup: TriangleSoup):
+    # Shift the world to the scene reference point so |o| stays small in the
+    # d x o feature terms (conditioning; the result is shift-invariant).
+    return jax.lax.stop_gradient(jnp.mean(soup.p0, axis=0))
 
 
 def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str) -> mt.Hit:
@@ -69,9 +79,7 @@ def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str) -> 
 
 def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None):
     """Occlusion test for the generic-origin shadow wavefront."""
-    # Shift the world to the scene reference point so |o| stays small in the
-    # d x o feature terms (conditioning; the result is shift-invariant).
-    center = jax.lax.stop_gradient(jnp.mean(soup.p0, axis=0))
+    center = _scene_center(soup)
     if backend == "bruteforce":
         w = mt.triangle_weights(soup, origin_shift=center)
         f = mt.ray_features(origins - center, dirs)
@@ -142,6 +150,28 @@ def render_wavefront(
         "primary_hits": primary_hits,
         "shadow_hits": shadow_hits,
     }
+    if config.traversal_stats:
+        R = dirs.shape[0]
+        T = soup.num_triangles
+        if config.backend == "megakernel":
+            from ceres_tpu.ops import megakernel
+
+            s1, i1 = megakernel.traversal_counts_common_origin(
+                soup, camera.eye, dirs)
+            if config.shadows:
+                s2, i2 = megakernel.traversal_counts_any(
+                    soup, _scene_center(soup), point, sun_line,
+                    skip=~hit.mask)
+            else:
+                s2 = i2 = jnp.asarray(0)
+        else:
+            # Brute force visits no structure: steps 0, R x T pair tests
+            # per wavefront (shadow wavefront included when enabled).
+            s1 = s2 = jnp.asarray(0)
+            i1 = jnp.asarray(R * T)
+            i2 = jnp.asarray(R * T if config.shadows else 0)
+        stats["traversal_steps"] = s1 + s2
+        stats["intersections"] = i1 + i2
     return color, stats
 
 
@@ -190,9 +220,22 @@ def render(
     config: Optional[RenderConfig] = None,
     **kwargs,
 ):
-    """User-facing render call. kwargs override RenderConfig fields."""
+    """User-facing render call. kwargs override RenderConfig fields.
+
+    Precision follows the input dtype — the reference's one real config
+    axis (``Scalar`` float/double, anim.cpp:154-158): pass float64
+    vertices (with jax x64 enabled) for a double-precision render. The
+    Pallas megakernel is float32 TPU hardware; float64 runs on the
+    bruteforce backend.
+    """
     config = dataclasses.replace(config or RenderConfig(), **kwargs)
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces)
+    if vertices.dtype == jnp.float64 and config.backend == "megakernel":
+        raise ValueError(
+            "float64 rendering requires backend='bruteforce': the Pallas "
+            "megakernel targets the f32 TPU datapath")
     sun_position = jnp.asarray(sun_position, vertices.dtype)
+    camera = Camera.make(camera.eye, camera.dir, camera.up, camera.fov,
+                         dtype=vertices.dtype)
     return _render_jit(vertices, faces, camera, sun_position, config)

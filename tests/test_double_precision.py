@@ -1,0 +1,80 @@
+"""The float/double Scalar axis (the reference's one real config knob).
+
+The reference templates every component on ``Scalar`` and switches
+float -> double with anim's ``-d`` flag (anim.cpp:145-158). Here precision
+follows the input dtype: float64 vertices (with x64 enabled) run the whole
+bruteforce pipeline in double and must match the float64 golden oracle far
+tighter than the f32 path does.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ceres_tpu.render.renderer import RenderConfig, render
+from ceres_tpu.render import scenes
+from ceres_tpu.utils import golden
+
+
+def _render_and_oracle(scene, W, H, dtype):
+    with jax.enable_x64():
+        img, stats = render(
+            np.asarray(scene.vertices, dtype), np.asarray(scene.faces),
+            scene.camera, np.asarray(scene.sun, dtype),
+            config=RenderConfig(width=W, height=H, mode="smooth",
+                                backend="bruteforce"),
+        )
+        img = np.asarray(img)
+    gold, _ = golden.render_golden(
+        scene.vertices, scene.faces,
+        np.asarray(scene.camera.eye, np.float64),
+        np.asarray(scene.camera.dir, np.float64),
+        np.asarray(scene.camera.up, np.float64),
+        float(scene.camera.fov), np.asarray(scene.sun, np.float64),
+        W, H, mode="smooth",
+    )
+    return img, gold
+
+
+def test_double_render_is_tight(bunny):
+    """f64 render agrees with the f64 oracle essentially bit-for-bit —
+    no silhouette budget needed (the f32 test allows 1% edge flips)."""
+    scene = scenes.bunny_scene()
+    img, gold = _render_and_oracle(scene, 48, 48, np.float64)
+    assert img.dtype == np.float64
+    np.testing.assert_allclose(img, gold, atol=1e-9)
+
+
+def test_double_tighter_than_float(bunny):
+    scene = scenes.bunny_scene()
+    W = H = 48
+    img64, gold = _render_and_oracle(scene, W, H, np.float64)
+    img32, _ = render(
+        scene.vertices, scene.faces, scene.camera, scene.sun,
+        config=RenderConfig(width=W, height=H, mode="smooth",
+                            backend="bruteforce"))
+    err64 = np.abs(img64 - gold).max()
+    err32 = np.abs(np.asarray(img32) - gold).max()
+    assert err64 < err32
+    assert err64 < 1e-9
+
+
+def test_megakernel_rejects_float64(bunny):
+    scene = scenes.bunny_scene()
+    with jax.enable_x64():
+        with pytest.raises(ValueError, match="float64"):
+            render(np.asarray(scene.vertices, np.float64), scene.faces,
+                   scene.camera, scene.sun,
+                   config=RenderConfig(width=16, height=16,
+                                       backend="megakernel"))
+
+
+def test_cli_double_flag(tmp_path):
+    from ceres_tpu.cli import render as cli
+
+    out = tmp_path / "out.ppm"
+    rc = cli.main(["/root/reference/data/bunny.obj", "-o", str(out),
+                   "--width", "32", "--height", "32", "-d",
+                   "--backend", "megakernel"])  # auto-switches + warns
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 32 * 32 * 3
