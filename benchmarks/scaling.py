@@ -1,0 +1,99 @@
+"""Scaling-efficiency harness: rays/s on 1 device vs an N-device mesh.
+
+BASELINE.json north star: ">= 85% rays/s scaling efficiency 1 chip -> N".
+Real multi-chip hardware is not available in this container, so by default
+this runs the *same shard_map code path* on an N-virtual-device CPU mesh
+(the mechanism the tests validate for correctness); on a real TPU slice it
+runs unmodified and reports true ICI-scaled throughput.
+
+Usage:
+    python benchmarks/scaling.py [--devices 8] [--width 1920 --height 1080]
+Prints one JSON line per device count plus a final efficiency line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--backend", default="megakernel")
+    ap.add_argument("--tpu", action="store_true",
+                    help="use the attached TPU devices instead of forcing "
+                         "a virtual CPU mesh")
+    args = ap.parse_args()
+
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices)
+    else:
+        import jax
+
+    import numpy as np
+
+    from ceres_tpu.io.obj import load_obj
+    from ceres_tpu.models.camera import Camera
+    from ceres_tpu.parallel.sharded import device_mesh, render_sharded
+
+    verts, faces = load_obj("/root/reference/data/bunny.obj")
+    eye = np.asarray([0.0, 0.1, -0.3], np.float32)
+    camera = Camera.make(eye=eye, dir=verts.mean(axis=0) - eye,
+                         up=(0, 1, 0), fov=60.0)
+    sun = np.asarray([-50.0, 100.0, 0.0], np.float32)
+
+    def measure(n_dev: int) -> float:
+        mesh = device_mesh(devices=jax.devices()[:n_dev])
+
+        def run():
+            img, stats = render_sharded(
+                verts, faces, camera, sun, mesh=mesh, width=args.width,
+                height=args.height, mode="smooth", backend=args.backend)
+            jax.block_until_ready(img)
+            return stats
+
+        stats = run()  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            stats = run()
+        dt = (time.perf_counter() - t0) / args.reps
+        return float(stats["rays"]) / dt
+
+    counts = sorted({1, 2, args.devices} & set(
+        range(1, len(jax.devices()) + 1)))
+    rates = {}
+    for n in counts:
+        rates[n] = measure(n)
+        print(json.dumps({"metric": "rays_per_sec", "devices": n,
+                          "value": round(rates[n], 1), "unit": "rays/s"}))
+    base = rates[counts[0]]
+    n_max = counts[-1]
+    eff = rates[n_max] / (n_max * base)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": f"fraction of linear, 1 -> {n_max} devices",
+        "target": 0.85,
+        "note": ("virtual CPU mesh: all N 'devices' share one physical "
+                 "core pool, so this exercises the shard_map path and "
+                 "measures its overhead, NOT parallel speedup; the >= 85% "
+                 "target applies to --tpu runs on a real slice"
+                 if not args.tpu else "real devices"),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -47,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=None,
                    help="frames rendered per device dispatch "
                         "(default: one full mesh-sized batch at a time)")
+    p.add_argument("--save-frames", metavar="DIR", default=None,
+                   help="write each frame to DIR/frame_NNNN.png as soon as "
+                        "it is rendered; on restart, already-written frames "
+                        "are skipped (incremental checkpoint/resume — the "
+                        "reference buffers all frames in RAM and writes "
+                        "once at the end, anim.cpp:44,124-127)")
     return p
 
 
@@ -54,7 +61,7 @@ def _write_video(path: str, frames_u8, fps: int) -> None:
     if path.endswith(".gif"):
         import imageio
 
-        imageio.mimsave(path, list(frames_u8), fps=fps, loop=0)
+        imageio.mimsave(path, list(frames_u8), duration=1000.0 / fps, loop=0)
     elif path.endswith(".mp4"):
         import cv2
 
@@ -76,7 +83,7 @@ def run(args) -> int:
     from ceres_tpu.models.camera import Camera
     from ceres_tpu.parallel.sharded import (
         device_mesh, render_frames_sharded, turntable_transforms)
-    from ceres_tpu.utils.image import to_uint8
+    from ceres_tpu.utils.image import to_uint8, write_png
 
     t0 = time.perf_counter()
     vertices, faces = load_obj(args.input)
@@ -99,12 +106,23 @@ def run(args) -> int:
     mesh = device_mesh()  # all devices on the "rays" axis; frames batched below
     tracks = turntable_transforms(args.frames, axis=args.axis)
 
+    def _frame_path(k: int) -> str:
+        return os.path.join(args.save_frames, f"frame_{k:04d}.png")
+
+    if args.save_frames:
+        os.makedirs(args.save_frames, exist_ok=True)
+
     batch = args.batch or 1
     total_rays = 0
-    frames_u8 = []
+    frames_u8 = [None] * args.frames
+    skipped = 0
     t1 = time.perf_counter()
     for start in range(0, args.frames, batch):
         stop = min(start + batch, args.frames)
+        if args.save_frames and all(
+                os.path.exists(_frame_path(k)) for k in range(start, stop)):
+            skipped += stop - start
+            continue  # resume: this batch is already on disk
         tf = jax.tree.map(lambda x: x[start:stop], tracks)
         frames, stats = render_frames_sharded(
             vertices, faces, camera, sun, tf, mesh=mesh,
@@ -113,10 +131,22 @@ def run(args) -> int:
         frames = np.asarray(frames)
         total_rays += int(stats["rays"])
         for k in range(frames.shape[0]):
-            frames_u8.append(to_uint8(frames[k])[::-1])  # flip like PPM
+            u8 = to_uint8(frames[k])[::-1]  # flip like PPM
+            frames_u8[start + k] = u8
+            if args.save_frames:
+                write_png(_frame_path(start + k), frames[k])
         print(f"frames {start}..{stop - 1} done "
               f"({time.perf_counter() - t1:.2f}s elapsed)")
     dt = time.perf_counter() - t1
+    if skipped:
+        print(f"Resumed: {skipped} frame(s) already in {args.save_frames}")
+    if args.save_frames:
+        # Fill skipped frames back in from disk for the video assembly.
+        import imageio.v3 as iio
+
+        for k in range(args.frames):
+            if frames_u8[k] is None:
+                frames_u8[k] = np.asarray(iio.imread(_frame_path(k)))[..., :3]
 
     print(f"Total Rays: {total_rays}")  # anim.cpp:129
     print(f"Total render: {dt:.2f}s on {n_dev} device(s) "

@@ -88,9 +88,19 @@ def fit_vertices(
     learning_rate: float = 1e-3,
     optimize_camera: bool = False,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
 ):
     """Gradient-descend vertex positions (optionally camera pose) to match
-    ``target``. Returns (final params dict, loss history list)."""
+    ``target``. Returns (final params dict, loss history list).
+
+    With ``checkpoint_dir``, optimizer state (params + Adam moments + step)
+    is saved via orbax every ``checkpoint_every`` steps and the fit RESUMES
+    from the latest checkpoint on restart — the checkpoint/resume
+    capability the reference lacks entirely (SURVEY.md §5: long jobs buffer
+    everything in RAM and write only at the end, anim.cpp:44,124-127).
+    ``steps`` counts total steps including restored ones.
+    """
     config = config or RenderConfig(width=target.shape[1],
                                     height=target.shape[0])
     params = {"vertices": jnp.asarray(vertices)}
@@ -99,10 +109,36 @@ def fit_vertices(
         params["dir"] = camera.dir
     optimizer = optax.adam(learning_rate)
     state = TrainState(params, optimizer.init(params))
+    start = 0
+
+    manager = None
+    if checkpoint_dir is not None:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        manager = ocp.CheckpointManager(
+            os.path.abspath(checkpoint_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2))
+        latest = manager.latest_step()
+        if latest is not None:
+            state = manager.restore(
+                latest, args=ocp.args.StandardRestore(state))
+            state = jax.tree.map(jnp.asarray, state)
+            start = latest
+
     step = make_train_step(faces, camera, sun, config, optimizer, mesh=mesh)
     target = jnp.asarray(target)
     history = []
-    for _ in range(steps):
+    for i in range(start, steps):
         state, loss = step(state, target)
         history.append(float(loss))
+        if manager is not None and (
+                (i + 1) % checkpoint_every == 0 or i + 1 == steps):
+            import orbax.checkpoint as ocp
+
+            manager.save(i + 1, args=ocp.args.StandardSave(state))
+    if manager is not None:
+        manager.wait_until_finished()
+        manager.close()
     return state.params, history

@@ -8,18 +8,21 @@ kernel never pays scalar-branch synchronization per culled cluster:
   1. **Culling prepass (pure JAX, dense).** Rays arrive in spatially
      coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Every
      (ray, cluster) slab test is evaluated as one dense vectorized pass —
-     the FastNodeIntersector test (node_intersectors.hpp:83-103) over all
-     pairs at once — then reduced to a per-tile *compacted list* of
-     overlapping cluster ids. XLA fuses this; there is no divergence and
-     no scalar sync.
-  2. **Intersection kernel (Pallas).** Per tile, a while-loop over exactly
-     ``count[tile]`` list entries — the actual work, typically a handful —
-     evaluating each cluster's 128 triangles against all 512 rays as
-     rank-K broadcast outer products (K = 4 common-origin / 10 generic;
-     see ceres_tpu.ops.intersect for the Möller-Trumbore factorization)
-     and keeping per-ray closest (t, u, v, id) or an any-hit flag
-     (AnyPrimitiveIntersector semantics, primitive_intersectors.hpp:58-76).
-     Cluster weight tensors are VMEM-resident; the loop body is branch-free.
+     the FastNodeIntersector test (node_intersectors.hpp:83-103) with the
+     RobustNodeIntersector's conservative padding — then reduced to a
+     per-tile compacted cluster list sorted FRONT TO BACK by tile entry
+     distance. XLA fuses this; there is no divergence and no scalar sync.
+  2. **Intersection kernel (Pallas).** Per tile, a while-loop walks the
+     sorted list and EARLY-EXITS once every ray's closest hit precedes the
+     next cluster (the traverser's nearer-first + tmax-shrink pruning,
+     single_ray_traverser.hpp:59,95-113, vectorized per tile). Each visit
+     evaluates all R x C x 4 Möller-Trumbore numerators as ONE
+     (R, Kp) @ (Kp, 4C) matmul on the MXU (the bilinear factorization of
+     ceres_tpu.ops.intersect) with a branch-free division-free sign-test
+     epilogue keeping per-ray closest (t, u, v, id) — or an any-hit flag
+     (AnyPrimitiveIntersector semantics, primitive_intersectors.hpp:58-76)
+     with its own all-occluded early exit. Cluster weight slabs are
+     VMEM-resident (16 KB each).
 
 Gradients: ``closest_hit_common_origin`` carries a custom VJP — backward
 re-derives the winning intersections analytically in plain JAX (R winners,
@@ -41,7 +44,20 @@ from ceres_tpu.accel import clusters as cl
 from ceres_tpu.models.mesh import TriangleSoup
 from ceres_tpu.ops.intersect import Hit
 
-TILE = 1024        # rays per grid step (= one 32 x 32 pixel block)
+TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
+_LIST_BUDGET = 800_000  # total culling-list entries (n_tiles * n_clusters)
+
+
+def _pick_tile(num_rays: int, n_clusters: int) -> int:
+    """Smallest power-of-2 ray tile >= TILE keeping the per-tile culling
+    lists (n_tiles x n_clusters int32 + f32) to a sane size for
+    many-cluster scenes; perf is flat in tile size for small ones."""
+    tile = TILE
+    while -(-num_rays // tile) * n_clusters > _LIST_BUDGET:
+        tile *= 2
+    return tile
+
+
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _INV_CLAMP = 1e30
 _PREPASS_TILES = 32  # tiles per chunk in the dense culling prepass
@@ -61,11 +77,13 @@ def _safe_inverse(d):
 # Phase 1: dense culling prepass (pure JAX)
 # ---------------------------------------------------------------------------
 
-def _overlap_mask(lo, hi, origins, dirs):
-    """Slab overlap of rays (chunk, R, 3) vs clusters (N_c, 3) -> (chunk, R, N_c).
+def _overlap_entry(lo, hi, origins, dirs):
+    """Slab entry distance of rays (chunk, R, 3) vs clusters (N_c, 3).
 
-    ``origins`` may be None (rays from the coordinate origin). tmin = 0,
-    tmax = +BIG: conservative, the kernel's accept does the exact test.
+    Returns (chunk, R, N_c) f32: the clamped slab entry distance
+    ``max(tn, 0)`` where the ray overlaps the cluster box, +_BIG where it
+    does not. ``origins`` may be None (rays from the coordinate origin).
+    tmax is +BIG: conservative, the kernel's accept does the exact test.
     """
     inv = _safe_inverse(dirs)                                # (..., R, 3)
     if origins is None:
@@ -76,17 +94,28 @@ def _overlap_mask(lo, hi, origins, dirs):
         rel_hi = hi[None, None] - origins[..., None, :]
         t0 = rel_lo * inv[..., None, :]
         t1 = rel_hi * inv[..., None, :]
-    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tn = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), 0.0)
     tf = jnp.maximum(t0, t1).min(axis=-1)
-    return jnp.maximum(tn, 0.0) <= jnp.minimum(tf, _BIG)
+    # Conservative padding — the RobustNodeIntersector capability
+    # (node_intersectors.hpp:54-79, Ize's robust traversal): widen the slab
+    # interval by a few ulps so f32 rounding can never cull a cluster whose
+    # exact interval is nonempty. Culling is a prefilter here (the kernel's
+    # accept is exact), so padding costs only the occasional extra visit.
+    hit = tn * (1.0 - 4e-6) <= jnp.minimum(tf, _BIG) * (1.0 + 4e-6)
+    return jnp.where(hit, tn, _BIG)
 
 
 def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
-    """Compacted per-tile overlapping-cluster lists.
+    """Per-tile overlapping-cluster lists, sorted FRONT TO BACK.
 
     dirs_tiled: (n_tiles, R, 3). Returns (lists (n_tiles, N_c) int32 with
-    overlapping ids first, counts (n_tiles, 1) int32). Chunked over tiles
-    to bound the dense (R, N_c) live set.
+    overlapping ids first in ascending tile entry distance, entry
+    (n_tiles, N_c) f32 matching distances (+_BIG past count), counts
+    (n_tiles,) int32). The ordering is the tile analog of the reference
+    traverser's descend-nearer-first rule (single_ray_traverser.hpp:95-113)
+    and enables the kernel's early exit once every ray's closest hit
+    precedes the next cluster. Chunked over tiles to bound the dense
+    (R, N_c) live set.
     """
     n_tiles = dirs_tiled.shape[0]
     pad = (-n_tiles) % _PREPASS_TILES
@@ -104,13 +133,13 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     def chunk_fn(args):
         if origins_tiled is None:
             d = args if alive is None else args[0]
-            m = _overlap_mask(lo, hi, None, d)
+            e = _overlap_entry(lo, hi, None, d)
         else:
             d, o = args[:2]
-            m = _overlap_mask(lo, hi, o, d)
+            e = _overlap_entry(lo, hi, o, d)
         if alive is not None:
-            m = m & args[-1][..., None]
-        return jnp.any(m, axis=1)  # (chunk, N_c) any over rays
+            e = jnp.where(args[-1][..., None], e, _BIG)
+        return jnp.min(e, axis=1)  # (chunk, N_c) nearest entry over rays
 
     if origins_tiled is None and alive is None:
         per_tile = jax.lax.map(chunk_fn, dirs_p)
@@ -121,29 +150,33 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     else:
         per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p, alive_p))
 
-    mask = per_tile.reshape(-1, lo.shape[0])[:n_tiles]     # (n_tiles, N_c)
-    counts = jnp.sum(mask, axis=1).astype(jnp.int32)[:, None, None]
-    lists = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
-    return lists[:, None, :], counts
+    tn = per_tile.reshape(-1, lo.shape[0])[:n_tiles]       # (n_tiles, N_c)
+    counts = jnp.sum(tn < _BIG, axis=1).astype(jnp.int32)  # (n_tiles,)
+    order = jnp.argsort(tn, axis=1, stable=True)
+    lists = order.astype(jnp.int32)
+    entry = jnp.take_along_axis(tn, order, axis=1)
+    return lists, entry, counts
 
 
 # ---------------------------------------------------------------------------
 # Phase 2: Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _mt_channels(wj, coeffs, nk):
+def _mt_channels(wj, feats, c_size):
     """Evaluate the 4 MT numerator channels for one cluster over a ray tile.
 
-    wj: (4, Kp, C) weight slab; coeffs: (R, nk) per-ray features (the
-    implicit trailing 1-feature is wj[:, nk]); returns 4 arrays (R, C).
+    wj: (Kp, 4 * C) weight slab (channels side by side along lanes);
+    feats: (R, Kp) per-ray feature vectors, already padded with the
+    implicit 1 and zeros. ONE ``jnp.dot`` -> the MXU evaluates all
+    R x C x 4 numerators as a (R, Kp) @ (Kp, 4C) matmul — the point of the
+    bilinear MT factorization (ceres_tpu.ops.intersect docstring); the
+    previous chained VPU broadcast-FMA form was ~5x slower on real
+    hardware.
     """
-    outs = []
-    for ch in range(4):
-        acc = jnp.broadcast_to(wj[ch, nk][None, :], (coeffs.shape[0], wj.shape[2]))
-        for k in range(nk):
-            acc = acc + coeffs[:, k:k + 1] * wj[ch, k][None, :]
-        outs.append(acc)
-    return outs
+    out = jnp.dot(feats, wj, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)   # (R, 4C)
+    return (out[:, :c_size], out[:, c_size:2 * c_size],
+            out[:, 2 * c_size:3 * c_size], out[:, 3 * c_size:])
 
 
 def _accept_sign(nu, nv, nd, nt):
@@ -159,43 +192,78 @@ def _accept_sign(nu, nv, nd, nt):
             & ((nd - nu - nv) * s >= 0) & (nt * s >= 0) & (nd != 0))
 
 
-def _closest_kernel(sc_ref, cnt_ref, list_ref, d_ref, w_ref,
-                    t_ref, id_ref):
-    tmin = sc_ref[0, 0]
+def _closest_kernel(cnt_ref, list_ref, entry_ref, f_ref, w_ref, t_ref,
+                    id_ref, u_ref, v_ref):
+    """One ray-tile grid step: walk the culled clusters FRONT TO BACK and
+    stop as soon as every ray's closest hit precedes the next cluster.
+
+    This is the reference traverser's closest-hit pruning — descend nearer
+    child first, shrink tmax, skip farther nodes already beyond it
+    (single_ray_traverser.hpp:59,95-113) — vectorized per tile: the prune
+    test compares the TILE's slowest ray (max t) against the next sorted
+    entry distance, so it is conservative and exact.
+
+    The whole packed weight tensor is VMEM-resident (16 KB per cluster —
+    scales to ~100k triangles; larger scenes raise the ray tile via
+    _pick_tile); a (tiles x clusters) scalar-prefetch grid with skipped
+    steps measured ~30% slower for coherent scenes and catastrophically
+    slower for many-cluster ones. tmin = 0 (primary rays from the eye,
+    reference ray.hpp:20).
+    """
     count = cnt_ref[0, 0, 0]
-    d = d_ref[0]                      # (R, 3)
-    R = d.shape[0]
-    C = w_ref.shape[3]
+    f = f_ref[0]                      # (R, Kp)
+    R = f.shape[0]
+    C = w_ref.shape[2] // 4
+    n_c = list_ref.shape[2]
 
     t_ref[0, 0, :] = jnp.full((R,), _BIG)
     id_ref[0, 0, :] = jnp.full((R,), -1, jnp.int32)
+    u_ref[0, 0, :] = jnp.zeros((R,))
+    v_ref[0, 0, :] = jnp.zeros((R,))
 
-    def body(k, _):
+    def cond(k):
+        more = k < count
+        nxt = entry_ref[0, 0, jnp.minimum(k, n_c - 1)]
+        return more & (jnp.max(t_ref[0, 0, :]) >= nxt)
+
+    def body(k):
         cid = list_ref[0, 0, k]
-        wj = w_ref[cid]               # (4, Kp, C)
-        nu, nv, nd, nt = _mt_channels(wj, d, 3)
-        t_c = t_ref[0, 0, :]
-        acc = _accept_sign(nu, nv, nd, nt)
-        tt = nt / jnp.where(nd != 0, nd, 1.0)
-        tpair = jnp.where(acc & (tt >= tmin) & (tt <= t_c[:, None]), tt, _BIG)
+        wj = w_ref[cid]               # (Kp, 4C)
+        nu, nv, nd, nt = _mt_channels(wj, f, C)
+        acc = _accept_sign(nu, nv, nd, nt)   # implies t >= 0 (nt*s >= 0)
+        inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
+        tt = nt * inv
+        # No running-t term in the pair mask: keeps the epilogue free of
+        # the loop-carried dependency (only the final update reads t_ref),
+        # so the next visit's matmul can overlap this epilogue.
+        tpair = jnp.where(acc, tt, _BIG)
         t_min = jnp.min(tpair, axis=1)
+        t_c = t_ref[0, 0, :]
         ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
         idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, C), axis=1)
+        # u, v of the winning lane (one-hot select: no per-ray gather).
+        sel = ids == idx[:, None]
+        u_min = jnp.sum(jnp.where(sel, nu * inv, 0.0), axis=1)
+        v_min = jnp.sum(jnp.where(sel, nv * inv, 0.0), axis=1)
         better = t_min < t_c
         t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
         id_ref[0, 0, :] = jnp.where(better, cid * C + idx, id_ref[0, 0, :])
-        return 0
+        u_ref[0, 0, :] = jnp.where(better, u_min, u_ref[0, 0, :])
+        v_ref[0, 0, :] = jnp.where(better, v_min, v_ref[0, 0, :])
+        return k + 1
 
-    jax.lax.fori_loop(0, count, body, 0)
+    jax.lax.while_loop(cond, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_pallas(dirs_tiled, weights, lists, counts, scalars, interpret):
-    n_tiles, R, _ = dirs_tiled.shape
+def _closest_pallas(feats_tiled, weights, lists, entry, counts, interpret):
+    n_tiles, R, Kp = feats_tiled.shape
     n_c = weights.shape[0]
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
     ]
     out_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -203,30 +271,47 @@ def _closest_pallas(dirs_tiled, weights, lists, counts, scalars, interpret):
         _closest_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0, 0),
+            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 2,
+        out_specs=[out_spec] * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(scalars, counts, lists, dirs_tiled, weights)
+    )(counts, lists, entry, feats_tiled, weights)
 
 
 def _pack_weights(w):
-    """(N_c, 4, C, K) -> (N_c, 4, Kp, C) with K padded to a sublane multiple."""
-    w = jnp.swapaxes(w, 2, 3)  # (N_c, 4, K, C)
-    K = w.shape[2]
+    """(N_c, 4, C, K) -> (N_c, Kp, 4 * C): the matmul layout.
+
+    Channels go side by side along the lane axis so the kernel's single
+    (R, Kp) @ (Kp, 4C) dot yields [u_num | v_num | det | t_num] slabs; K is
+    zero-padded to a sublane multiple (the padded feature entries are zero
+    too, so the dot is unchanged).
+    """
+    n_c, ch, C, K = w.shape
+    w = jnp.transpose(w, (0, 3, 1, 2)).reshape(n_c, K, ch * C)
     pad = (-K) % 8
     if pad:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
     return w
+
+
+def _pad_feats(feats, kp):
+    """(R, K) ray features -> (R, kp): append the implicit 1 then zeros."""
+    R, K = feats.shape
+    ones = jnp.ones((R, 1), feats.dtype)
+    out = jnp.concatenate([feats, ones], axis=-1)
+    if kp > K + 1:
+        out = jnp.pad(out, ((0, 0), (0, kp - K - 1)))
+    return out
 
 
 def _tile_rays(x, tile):
@@ -246,23 +331,23 @@ def _closest_forward(p0, e1, e2, n, eye, dirs):
     # Shift cluster boxes by the origin so slab tests are origin-free.
     lo = jax.lax.stop_gradient(cs.lo - eye)
     hi = jax.lax.stop_gradient(cs.hi - eye)
-    dirs_tiled = _tile_rays(dirs, TILE)
-    lists, counts = _tile_cluster_lists(lo, hi, jax.lax.stop_gradient(dirs_tiled))
-    scalars = jnp.array([[0.0, 0.0]], jnp.float32)  # tmin, spare
-    t, pidx = _closest_pallas(dirs_tiled, w, lists, counts, scalars,
-                              _interpret())
+    tile = _pick_tile(R, cs.num_clusters)
+    dirs_tiled = _tile_rays(dirs, tile)
+    lists, entry, counts = _tile_cluster_lists(
+        lo, hi, jax.lax.stop_gradient(dirs_tiled))
+    feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), tile)
+    t, pidx, u, v = _closest_pallas(feats_tiled, w, lists[:, None, :],
+                                    entry[:, None, :], counts[:, None, None],
+                                    _interpret())
     t = t.reshape(-1)[:R]
     pidx = pidx.reshape(-1)[:R]
+    u = u.reshape(-1)[:R]
+    v = v.reshape(-1)[:R]
     mask = pidx >= 0
     prim = jnp.where(mask, cs.perm[jnp.clip(pidx, 0)], 0).astype(jnp.int32)
     t = jnp.where(mask, t, jnp.inf)
-    # u, v recomputed for the R winners only (keeps the kernel loop lean;
-    # identical formulas -> identical values).
-    tw, uw, vw = _winner_tuv(soup.p0[prim], soup.e1[prim], soup.e2[prim],
-                             soup.n[prim], eye, dirs)
-    u = jnp.where(mask, uw, 0.0)
-    v = jnp.where(mask, vw, 0.0)
-    del tw
+    u = jnp.where(mask, u, 0.0)
+    v = jnp.where(mask, v, 0.0)
     return Hit(t=t, u=u, v=v, prim_id=prim, mask=mask)
 
 
@@ -323,53 +408,57 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs) -> Hit:
     return _closest_hit(soup.p0, soup.e1, soup.e2, soup.n, eye, dirs)
 
 
-def _any_kernel(sc_ref, cnt_ref, list_ref, f_ref, skip_ref, w_ref, occ_ref):
-    tmin = sc_ref[0, 0]
-    tmax = sc_ref[0, 1]
+def _any_kernel(cnt_ref, list_ref, f_ref, skip_ref, w_ref, occ_ref):
+    """Occlusion tile: tmin = 0 / tmax = inf are the sign tests already.
+
+    Early exit once every ray in the tile is occluded (or skipped) — the
+    AnyPrimitiveIntersector's first-hit termination
+    (single_ray_traverser.hpp:57-58,92-93) vectorized per tile.
+    """
     count = cnt_ref[0, 0, 0]
-    f = f_ref[0]                        # (R, 9): [d, d x o, o]
+    f = f_ref[0]                        # (R, Kp): [d, d x o, o, 1, pad]
+    C = w_ref.shape[2] // 4
     occ_ref[0, 0, :] = skip_ref[0, 0, :]
 
-    del tmin, tmax  # tmin = 0 / tmax = inf are the sign tests below
+    def cond(k):
+        return (k < count) & (jnp.min(occ_ref[0, 0, :]) == 0)
 
-    def body(k, _):
+    def body(k):
         cid = list_ref[0, 0, k]
-        wj = w_ref[cid]                 # (4, Kp, C)
-        nu, nv, nd, nt = _mt_channels(wj, f, 9)
-        acc = _accept_sign(nu, nv, nd, nt)  # t in [0, inf): sign test only
+        wj = w_ref[cid]                 # (Kp, 4C)
+        nu, nv, nd, nt = _mt_channels(wj, f, C)
+        acc = _accept_sign(nu, nv, nd, nt)
         hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
         occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
-        return 0
+        return k + 1
 
-    jax.lax.fori_loop(0, count, body, 0)
+    jax.lax.while_loop(cond, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, scalars,
-                interpret):
-    n_tiles, R, _ = feats_tiled.shape
+def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, interpret):
+    n_tiles, R, Kp = feats_tiled.shape
     n_c = weights.shape[0]
     return pl.pallas_call(
         _any_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, 9), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0, 0),
+            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
         interpret=interpret,
-    )(scalars, counts, lists, feats_tiled, skip_tiled, weights)
+    )(counts, lists, feats_tiled, skip_tiled, weights)
 
 
 def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
@@ -387,10 +476,11 @@ def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
     """
     soup, eye, dirs = jax.lax.stop_gradient((soup, eye, dirs))
     cs = cl.build_clusters(soup)
-    dirs_tiled = _tile_rays(dirs, TILE)
-    _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
+    tile = _pick_tile(dirs.shape[0], cs.num_clusters)
+    dirs_tiled = _tile_rays(dirs, tile)
+    _, _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
     steps = jnp.sum(counts)
-    return steps, steps * TILE * cs.cluster_size
+    return steps, steps * tile * cs.cluster_size
 
 
 def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
@@ -403,11 +493,12 @@ def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
     hi = cs.hi - origin_shift
     if skip is None:
         skip = jnp.zeros(dirs.shape[:1], bool)
-    _, counts = _tile_cluster_lists(
-        lo, hi, _tile_rays(dirs, TILE),
-        _tile_rays(origins - origin_shift, TILE), _tile_rays(~skip, TILE))
+    tile = _pick_tile(dirs.shape[0], cs.num_clusters)
+    _, _, counts = _tile_cluster_lists(
+        lo, hi, _tile_rays(dirs, tile),
+        _tile_rays(origins - origin_shift, tile), _tile_rays(~skip, tile))
     steps = jnp.sum(counts)
-    return steps, steps * TILE * cs.cluster_size
+    return steps, steps * tile * cs.cluster_size
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
@@ -428,15 +519,18 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
     o = origins - shift
     if skip is None:
         skip = jnp.zeros((R,), bool)
-    dirs_tiled = _tile_rays(dirs, TILE)
-    orig_tiled = _tile_rays(o, TILE)
-    alive = _tile_rays(~skip, TILE)
-    lists, counts = _tile_cluster_lists(lo, hi, dirs_tiled, orig_tiled, alive)
-    feats = jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1)  # (R, 9)
-    scalars = jnp.array([[0.0, _BIG]], jnp.float32)
+    tile = _pick_tile(R, cs.num_clusters)
+    dirs_tiled = _tile_rays(dirs, tile)
+    orig_tiled = _tile_rays(o, tile)
+    alive = _tile_rays(~skip, tile)
+    lists, _, counts = _tile_cluster_lists(lo, hi, dirs_tiled, orig_tiled,
+                                           alive)
+    feats = _pad_feats(
+        jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1),  # (R, 9)
+        w.shape[1])
     occ = _any_pallas(
-        _tile_rays(feats, TILE),
-        _tile_rays(skip.astype(jnp.int32), TILE)[:, None, :],
-        w, lists, counts, scalars, _interpret(),
+        _tile_rays(feats, tile),
+        _tile_rays(skip.astype(jnp.int32), tile)[:, None, :],
+        w, lists[:, None, :], counts[:, None, None], _interpret(),
     )
     return (occ.reshape(-1)[:R] == 1) & ~skip

@@ -103,18 +103,28 @@ def render_wavefront(
 
     prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
     u, v = hit.u, hit.v
-    w = 1.0 - u - v
-    p0 = soup.p0[prim]
-    p1 = p0 - soup.e1[prim]
-    p2 = p0 + soup.e2[prim]
-    n = soup.n[prim]
-    # True barycentrics of this MT variant: (w, u, v) weight (p0, p1, p2) —
-    # verify with o + t*d. NOTE this deliberately DIFFERS from the
-    # reference, whose interpolation u*p0 + v*p1 + w*p2 (render.hpp:127-129)
-    # mis-assigns the weights: its "hit point" does not lie on the ray,
-    # shifting shadow origins and producing shading seams across shared
-    # edges. We reconstruct the actual intersection point.
-    point = w[:, None] * p0 + u[:, None] * p1 + v[:, None] * p2
+    # One packed row-gather for everything shading needs per hit (TPU
+    # gathers are expensive; 4 separate (R, 3) gathers measured ~40 ms per
+    # 1080p frame vs one contiguous (R, 12) row fetch).
+    if config.mode == "smooth":
+        if soup.corner_normals is None:
+            raise ValueError("smooth shading requires corner_normals")
+        table = jnp.concatenate(
+            [soup.n, soup.corner_normals.reshape(-1, 9)], axis=-1)
+        rec = table[prim]
+        n = rec[:, :3]
+        corners = rec[:, 3:].reshape(-1, 3, 3)
+    else:
+        n = soup.n[prim]
+        corners = None
+    # Hit point via o + t*d — identical to the true-barycentric
+    # interpolation (w, u, v) over (p0, p1, p2) but gather-free. NOTE this
+    # deliberately DIFFERS from the reference, whose interpolation
+    # u*p0 + v*p1 + w*p2 (render.hpp:127-129) mis-assigns the weights: its
+    # "hit point" does not lie on the ray, shifting shadow origins and
+    # producing shading seams across shared edges.
+    t_safe = jnp.where(hit.mask, hit.t, 0.0)
+    point = camera.eye + t_safe[:, None] * dirs
     point = point + SELF_INTERSECT_OFFSET * _normalize(n)
     sun_line = _normalize(sun_position[None, :] - point)
 
@@ -125,11 +135,7 @@ def render_wavefront(
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 
     if config.mode == "smooth":
-        if soup.corner_normals is None:
-            raise ValueError("smooth shading requires corner_normals")
-        shade = shading_mod.smooth_shading(
-            sun_line, soup.corner_normals[prim], dirs, u, v
-        )
+        shade = shading_mod.smooth_shading(sun_line, corners, dirs, u, v)
     elif config.mode == "flat":
         shade = shading_mod.flat_shading(n)
     elif config.mode == "normal":
