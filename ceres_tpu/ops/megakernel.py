@@ -216,10 +216,10 @@ def _closest_kernel(cnt_ref, list_ref, entry_ref, f_ref, w_ref, t_ref,
     C = w_ref.shape[2] // 4
     n_c = list_ref.shape[2]
 
-    t_ref[0, 0, :] = jnp.full((R,), _BIG)
+    t_ref[0, 0, :] = jnp.full((R,), _BIG, jnp.float32)
     id_ref[0, 0, :] = jnp.full((R,), -1, jnp.int32)
-    u_ref[0, 0, :] = jnp.zeros((R,))
-    v_ref[0, 0, :] = jnp.zeros((R,))
+    u_ref[0, 0, :] = jnp.zeros((R,), jnp.float32)
+    v_ref[0, 0, :] = jnp.zeros((R,), jnp.float32)
 
     def cond(k):
         more = k < count

@@ -73,8 +73,13 @@ def test_cli_double_flag(tmp_path):
     from ceres_tpu.cli import render as cli
 
     out = tmp_path / "out.ppm"
-    rc = cli.main(["/root/reference/data/bunny.obj", "-o", str(out),
-                   "--width", "32", "--height", "32", "-d",
-                   "--backend", "megakernel"])  # auto-switches + warns
+    try:
+        rc = cli.main(["/root/reference/data/bunny.obj", "-o", str(out),
+                       "--width", "32", "--height", "32", "-d",
+                       "--backend", "megakernel"])  # auto-switches + warns
+    finally:
+        # The CLI flips the global x64 flag (fine for a process-per-run
+        # CLI); restore it so later tests trace in f32 again.
+        jax.config.update("jax_enable_x64", False)
     assert rc == 0
     assert out.exists() and out.stat().st_size > 32 * 32 * 3
