@@ -102,6 +102,9 @@ def _overlap_entry(lo, hi, origins, dirs):
     # exact interval is nonempty. Culling is a prefilter here (the kernel's
     # accept is exact), so padding costs only the occasional extra visit.
     hit = tn * (1.0 - 4e-6) <= jnp.minimum(tf, _BIG) * (1.0 + 4e-6)
+    # Empty clusters (inf/-inf sentinel boxes from treelet padding) would
+    # pass the inf-arithmetic slab test; mask them out explicitly.
+    hit = hit & jnp.all(hi >= lo, axis=-1)[None, None, :]
     return jnp.where(hit, tn, _BIG)
 
 
@@ -326,7 +329,7 @@ def _tile_rays(x, tile):
 def _closest_forward(p0, e1, e2, n, eye, dirs):
     R = dirs.shape[0]
     soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=n)
-    cs = cl.build_clusters(soup)
+    cs = cl.build_clusters_treelet(soup)
     w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
     # Shift cluster boxes by the origin so slab tests are origin-free.
     lo = jax.lax.stop_gradient(cs.lo - eye)
@@ -475,7 +478,7 @@ def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
     counter trick (:146-152).
     """
     soup, eye, dirs = jax.lax.stop_gradient((soup, eye, dirs))
-    cs = cl.build_clusters(soup)
+    cs = cl.build_clusters_treelet(soup)
     tile = _pick_tile(dirs.shape[0], cs.num_clusters)
     dirs_tiled = _tile_rays(dirs, tile)
     _, _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
@@ -488,7 +491,7 @@ def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
     """(traversal_steps, intersections) for a generic-origin wavefront."""
     soup, origin_shift, origins, dirs = jax.lax.stop_gradient(
         (soup, origin_shift, origins, dirs))
-    cs = cl.build_clusters(soup)
+    cs = cl.build_clusters_treelet(soup)
     lo = cs.lo - origin_shift
     hi = cs.hi - origin_shift
     if skip is None:
@@ -512,7 +515,7 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
     p0, e1, e2, n, shift, origins, dirs = jax.lax.stop_gradient(
         (soup.p0, soup.e1, soup.e2, soup.n, origin_shift, origins, dirs))
     R = dirs.shape[0]
-    cs = cl.build_clusters(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
+    cs = cl.build_clusters_treelet(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
     lo = cs.lo - shift
     hi = cs.hi - shift
