@@ -10,8 +10,15 @@ Configs (BASELINE.md):
 Runs on whatever backend is attached (the real TPU chip under axon; CPU
 elsewhere). bench.py stays the single north-star line; this is the wider
 sweep for the record.
+
+Methodology (same as bench.py): REPS iterations run inside ONE jitted
+``lax.fori_loop`` and are forced by a scalar fetch — on remote-tunnel TPU
+backends per-dispatch wall-clock measures dispatch latency, not compute
+(jax.block_until_ready returns early there), and the in-graph loop also
+amortizes the tunnel round trip.
 """
 
+import functools
 import json
 import os
 import sys
@@ -20,123 +27,142 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA = "/root/reference/data"
+REPS = 10
 
 
-def _timeit(fn, reps=5):
+def _marginal_ms(body_fn, v):
+    """Per-iteration compute time of ``body_fn(v, i) -> scalar``, by the
+    k=1 vs k=REPS+1 in-graph marginal. ``v`` (the vertex array) is passed
+    as a jit ARGUMENT: as a closed-over constant XLA fails to hoist the
+    loop-invariant acceleration-structure build out of the fori_loop
+    (measured 3x slower)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn())  # compile
-    jax.block_until_ready(fn())  # steady state
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn())
-    return (time.perf_counter() - t0) / reps, out
+    @functools.partial(jax.jit, static_argnames="k")
+    def run(v_, k):
+        def body(i, acc):
+            return acc + body_fn(v_, i)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    res = {}
+    for k in (1, REPS + 1):
+        float(run(v, k))  # compile + warm
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(v, k))  # scalar fetch = real synchronization
+            ts.append(time.perf_counter() - t0)
+        res[k] = min(ts)
+    return (res[REPS + 1] - res[1]) / REPS * 1e3
 
 
 def main() -> int:
     import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera
     from ceres_tpu.models.transform import rotate_vertices_about_axis
-    from ceres_tpu.render.renderer import render
+    from ceres_tpu.render.renderer import RenderConfig, render_pipeline, render
 
     results = []
 
-    def record(name, rays, dt, extra=None):
-        line = {"config": name, "rays_per_sec": round(rays / dt, 1),
-                "ms_per_frame": round(dt * 1e3, 3)}
+    def record(name, rays, ms, extra=None):
+        line = {"config": name, "rays_per_sec": round(rays / (ms * 1e-3), 1),
+                "ms_per_frame": round(ms, 3)}
         line.update(extra or {})
         results.append(line)
         print(json.dumps(line))
 
     bunny_v, bunny_f = load_obj(os.path.join(DATA, "bunny.obj"))
     dragon_v, dragon_f = load_obj(os.path.join(DATA, "dragon.obj"))
+    sun = jnp.asarray([-50.0, 100.0, 0.0], jnp.float32)
+    eye = np.asarray([0.0, 0.1, -0.3], np.float32)
+
+    def frame_body(faces, cam, cfg):
+        fj = jnp.asarray(faces)
+
+        def body(v, i):
+            img, _ = render_pipeline(v, fj, cam, sun + i * 1e-3, cfg)
+            return img.sum()
+        return body
+
+    def frame_rays(verts, faces, cam, cfg):
+        _, stats = render(verts, faces, cam, np.asarray(sun), config=cfg)
+        return float(stats["rays"])
 
     # -- config 1: bunny preview 512x512 flat ------------------------------
     v1 = np.asarray(rotate_vertices_about_axis(bunny_v, 1, -145.0))
-    eye = np.asarray([0.0, 0.1, -0.3], np.float32)
     cam1 = Camera.make(eye=eye, dir=v1.mean(axis=0) - eye, up=(0, 1, 0),
                        fov=60.0)
-    sun = np.asarray([-50.0, 100.0, 0.0], np.float32)
-
-    def run1():
-        img, stats = render(v1, bunny_f, cam1, sun, width=512, height=512,
-                            mode="flat", backend="megakernel")
-        return img, stats
-
-    dt, (_, stats) = _timeit(run1)
-    record("1_bunny_preview_512_flat", float(stats["rays"]), dt)
+    cfg1 = RenderConfig(width=512, height=512, mode="flat",
+                        backend="megakernel")
+    ms = _marginal_ms(frame_body(bunny_f, cam1, cfg1), jnp.asarray(v1))
+    record("1_bunny_preview_512_flat", frame_rays(v1, bunny_f, cam1, cfg1), ms)
 
     # -- config 2: bunny 1080p smooth --------------------------------------
     cam2 = Camera.make(eye=eye, dir=bunny_v.mean(axis=0) - eye,
                        up=(0, 1, 0), fov=60.0)
-
-    def run2():
-        return render(bunny_v, bunny_f, cam2, sun, width=1920, height=1080,
-                      mode="smooth", backend="megakernel")
-
-    dt, (_, stats) = _timeit(run2)
-    record("2_bunny_1080p_smooth", float(stats["rays"]), dt)
+    cfg2 = RenderConfig(width=1920, height=1080, mode="smooth",
+                        backend="megakernel")
+    ms = _marginal_ms(frame_body(bunny_f, cam2, cfg2), jnp.asarray(bunny_v))
+    record("2_bunny_1080p_smooth",
+           frame_rays(bunny_v, bunny_f, cam2, cfg2), ms)
 
     # -- config 3: dragon 1080p shadows ------------------------------------
     deye = np.asarray([0.0, 2.0, -8.0], np.float32)
     cam3 = Camera.make(eye=deye, dir=dragon_v.mean(axis=0) - deye,
                        up=(0, 1, 0), fov=60.0)
-
-    def run3():
-        return render(dragon_v, dragon_f, cam3, sun, width=1920, height=1080,
-                      mode="smooth", backend="megakernel")
-
-    dt, (_, stats) = _timeit(run3)
-    record("3_dragon_1080p_shadows", float(stats["rays"]), dt,
+    ms = _marginal_ms(frame_body(dragon_f, cam3, cfg2), jnp.asarray(dragon_v))
+    record("3_dragon_1080p_shadows",
+           frame_rays(dragon_v, dragon_f, cam3, cfg2), ms,
            {"triangles": int(dragon_f.shape[0])})
 
     # -- config 4: differentiable step --------------------------------------
-    import jax
-    import jax.numpy as jnp
-
-    from ceres_tpu.render.renderer import RenderConfig, render_pipeline
-
     cfg4 = RenderConfig(width=512, height=512, mode="smooth",
                         backend="megakernel")
-    faces_j = jnp.asarray(bunny_f)
-    target, _ = render_pipeline(jnp.asarray(bunny_v), faces_j, cam2,
-                                jnp.asarray(sun), cfg4)
+    fj = jnp.asarray(bunny_f)
+    vj = jnp.asarray(bunny_v)
+    target, _ = render_pipeline(vj, fj, cam2, sun, cfg4)
 
-    @jax.jit
-    def grad_step(verts, eye_p):
+    def grad_body(v0, i):
         def loss(v, e):
             cam = Camera(eye=e, dir=cam2.dir, up=cam2.up, fov=cam2.fov)
-            img, _ = render_pipeline(v, faces_j, cam, jnp.asarray(sun), cfg4)
+            img, _ = render_pipeline(v, fj, cam, sun + i * 1e-3, cfg4)
             return jnp.mean((img - target) ** 2)
 
-        return jax.grad(loss, argnums=(0, 1))(verts, eye_p)
+        val, (gv, ge) = jax.value_and_grad(loss, argnums=(0, 1))(
+            v0, jnp.asarray(eye))
+        return val + gv.sum() * 1e-9 + ge.sum() * 1e-9
 
-    v_j = jnp.asarray(bunny_v)
-    e_j = jnp.asarray(eye)
-    dt, _ = _timeit(lambda: grad_step(v_j, e_j))
-    record("4_diff_backward_512", float(2 * 512 * 512), dt,
+    ms = _marginal_ms(grad_body, vj)
+    record("4_diff_fwd_bwd_512", float(2 * 512 * 512), ms,
            {"note": "forward+backward pixels/s over vertices+camera"})
 
     # -- config 5: frame-batched animation ----------------------------------
     from ceres_tpu.parallel.sharded import (
-        device_mesh, render_frames_sharded, turntable_transforms)
+        _render_frames_jit, device_mesh, turntable_transforms)
 
     n_dev = len(jax.devices())
     mesh = device_mesh()
     n_frames = 4
     tracks = turntable_transforms(n_frames)
+    cfg5 = RenderConfig(width=621, height=1344, mode="smooth",
+                        backend="megakernel")
 
-    def run5():
-        frames, stats = render_frames_sharded(
-            bunny_v, bunny_f, cam2, sun, tracks, mesh=mesh, width=621,
-            height=1344, mode="smooth", backend="megakernel")
-        return frames, stats
+    def anim_body(v, i):
+        frames, _ = _render_frames_jit(v, fj, cam2, sun + i * 1e-3, tracks,
+                                       cfg5, mesh, n_frames)
+        return frames.sum()
 
-    dt, (_, stats) = _timeit(run5, reps=3)
-    record("5_anim_4frames_621x1344", float(stats["rays"]), dt,
-           {"devices": n_dev, "frames": n_frames})
+    ms = _marginal_ms(anim_body, vj)
+    _, stats = _render_frames_jit(vj, fj, cam2, sun, tracks, cfg5, mesh,
+                                  n_frames)
+    record("5_anim_4frames_621x1344", float(stats["rays"]), ms,
+           {"devices": n_dev, "frames": n_frames,
+            "note": "ms per 4-frame batch"})
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "latest_results.json"), "w") as fh:
