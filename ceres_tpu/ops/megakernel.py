@@ -326,10 +326,11 @@ def _tile_rays(x, tile):
     return x.reshape((-1, tile) + x.shape[1:])
 
 
-def _closest_forward(p0, e1, e2, n, eye, dirs):
+def _closest_forward(p0, e1, e2, n, eye, dirs, cs=None):
     R = dirs.shape[0]
-    soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=n)
-    cs = cl.build_clusters_treelet(soup)
+    if cs is None:
+        soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=n)
+        cs = cl.build_clusters_treelet(soup)
     w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
     # Shift cluster boxes by the origin so slab tests are origin-free.
     lo = jax.lax.stop_gradient(cs.lo - eye)
@@ -406,8 +407,22 @@ def _closest_bwd(res, g):
 _closest_hit.defvjp(_closest_fwd, _closest_bwd)
 
 
-def closest_hit_common_origin(soup: TriangleSoup, eye, dirs) -> Hit:
-    """Closest hit of normalized ``dirs`` rays all starting at ``eye``."""
+def closest_hit_common_origin(soup: TriangleSoup, eye, dirs,
+                              clusters=None) -> Hit:
+    """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
+
+    With ``clusters`` (a prebuilt ClusterSet for this exact soup) the
+    acceleration-structure build is skipped — the fast lane for frame
+    loops over static geometry, where rebuilding the LBVH per frame
+    dominates (XLA does not hoist it out of ``lax.map``). This lane is
+    NON-differentiable (no custom VJP); pass ``clusters=None`` wherever
+    gradients are needed.
+    """
+    if clusters is not None:
+        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
+        args = jax.lax.stop_gradient(
+            (soup.p0, soup.e1, soup.e2, soup.n, eye, dirs))
+        return _closest_forward(*args, cs=cs)
     return _closest_hit(soup.p0, soup.e1, soup.e2, soup.n, eye, dirs)
 
 
@@ -504,18 +519,23 @@ def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
     return steps, steps * tile * cs.cluster_size
 
 
-def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None):
+def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
+            clusters=None):
     """Occlusion test: True where a ray (origins[i], dirs[i]) hits anything.
 
     ``origin_shift`` recenters the world for conditioning (see
     ceres_tpu.ops.intersect docstring); ``skip`` marks rays whose answer is
     irrelevant (no primary hit) so they generate no traversal work.
+    ``clusters`` skips the structure build (see closest_hit_common_origin).
     Boolean, intentionally non-differentiable (detached visibility).
     """
     p0, e1, e2, n, shift, origins, dirs = jax.lax.stop_gradient(
         (soup.p0, soup.e1, soup.e2, soup.n, origin_shift, origins, dirs))
     R = dirs.shape[0]
-    cs = cl.build_clusters_treelet(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
+    if clusters is None:
+        cs = cl.build_clusters_treelet(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
+    else:
+        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
     lo = cs.lo - shift
     hi = cs.hi - shift

@@ -56,12 +56,30 @@ def _pad_rows(height: int, n_shards: int) -> int:
     return -(-height // n_shards)
 
 
-def _render_rows(verts, faces, camera, sun, row0, h_local, config):
+def _render_rows(verts, faces, camera, sun, row0, h_local, config,
+                 soup=None, clusters=None):
     """Render ``h_local`` image rows starting at row0 (traced scalar)."""
-    soup = triangle_soup(verts, faces, with_normals=config.mode == "smooth")
-    dirs = camera_rays_rows(camera, config.width, config.height,
-                            row0, h_local).reshape(-1, 3)
-    color, stats = render_wavefront(soup, camera, sun, dirs, config)
+    if soup is None:
+        soup = triangle_soup(verts, faces,
+                             with_normals=config.mode == "smooth")
+    dirs_hw = camera_rays_rows(camera, config.width, config.height,
+                               row0, h_local)
+    if config.backend == "megakernel":
+        # Pixel-block ray order (ceres_tpu.utils.tiling): raster-order
+        # 512-ray tiles span most of a scanline and overlap many clusters;
+        # compact blocks measured ~4x faster per ray.
+        from ceres_tpu.utils import tiling
+
+        dirs = tiling.swizzle(dirs_hw)
+        color, stats = render_wavefront(soup, camera, sun, dirs, config,
+                                        clusters=clusters)
+        color = tiling.unswizzle(color, h_local, config.width)
+        stats["rays"] = stats["rays"] - (dirs.shape[0]
+                                         - h_local * config.width)
+        return color, stats
+    dirs = dirs_hw.reshape(-1, 3)
+    color, stats = render_wavefront(soup, camera, sun, dirs, config,
+                                    clusters=clusters)
     return color.reshape(h_local, config.width, 3), stats
 
 
@@ -137,6 +155,19 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
     def fn(verts, faces_, cam, sun_, tf_shard, row0_shard):
+        # Geometry is static across frames: build the soup and the
+        # traversal clusters ONCE outside the frame loop (XLA does not
+        # hoist the LBVH build out of lax.map on its own — measured as
+        # the dominant per-frame cost).
+        soup = triangle_soup(verts, faces_,
+                             with_normals=config.mode == "smooth")
+        clusters = None
+        if config.backend == "megakernel":
+            from ceres_tpu.accel import clusters as cl
+
+            clusters = cl.build_clusters_treelet(
+                jax.tree.map(jax.lax.stop_gradient, soup))
+
         def one_frame(tf):
             # Per-frame rigid transform applied to camera + sun (the
             # turntable of anim.cpp:87-89 generalized to any keyframe
@@ -145,7 +176,8 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
                            up=cam.up, fov=cam.fov)
             sun_f = tf(sun_)
             color, stats = _render_rows(verts, faces_, cam_f, sun_f,
-                                        row0_shard[0], h_local, config)
+                                        row0_shard[0], h_local, config,
+                                        soup=soup, clusters=clusters)
             return color, stats
 
         colors, stats = jax.lax.map(one_frame, tf_shard)

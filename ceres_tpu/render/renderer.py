@@ -64,7 +64,8 @@ def _scene_center(soup: TriangleSoup):
     return jax.lax.stop_gradient(jnp.mean(soup.p0, axis=0))
 
 
-def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str) -> mt.Hit:
+def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str,
+                     clusters=None) -> mt.Hit:
     """Closest hit for the common-origin primary wavefront."""
     if backend == "bruteforce":
         w = mt.triangle_weights_common_origin(soup, camera.eye)
@@ -73,11 +74,13 @@ def _closest_primary(soup: TriangleSoup, camera: Camera, dirs, backend: str) -> 
     elif backend == "megakernel":
         from ceres_tpu.ops import megakernel
 
-        return megakernel.closest_hit_common_origin(soup, camera.eye, dirs)
+        return megakernel.closest_hit_common_origin(soup, camera.eye, dirs,
+                                                    clusters=clusters)
     raise ValueError(f"unknown backend: {backend}")
 
 
-def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None):
+def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None,
+                clusters=None):
     """Occlusion test for the generic-origin shadow wavefront."""
     center = _scene_center(soup)
     if backend == "bruteforce":
@@ -87,7 +90,8 @@ def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None):
     elif backend == "megakernel":
         from ceres_tpu.ops import megakernel
 
-        return megakernel.any_hit(soup, center, origins, dirs, skip=skip)
+        return megakernel.any_hit(soup, center, origins, dirs, skip=skip,
+                                  clusters=clusters)
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -97,9 +101,13 @@ def render_wavefront(
     sun_position: jax.Array,
     dirs: jax.Array,  # (R, 3) normalized primary directions from camera.eye
     config: RenderConfig,
+    clusters=None,  # prebuilt ClusterSet: skips the per-call structure
+                    # build (frame loops over static geometry); megakernel
+                    # backend only, non-differentiable
 ):
     """Render a flat wavefront of primary rays -> ((R, 3) colors, stats)."""
-    hit = _closest_primary(soup, camera, dirs, config.backend)
+    hit = _closest_primary(soup, camera, dirs, config.backend,
+                           clusters=clusters)
 
     prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
     u, v = hit.u, hit.v
@@ -130,7 +138,7 @@ def render_wavefront(
 
     if config.shadows:
         occluded = _any_shadow(soup, point, sun_line, config.backend,
-                               skip=~hit.mask)
+                               skip=~hit.mask, clusters=clusters)
     else:
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 

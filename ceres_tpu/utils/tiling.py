@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 TILE_H = 32
 TILE_W = 32
-TILE = TILE_H * TILE_W  # 1024 rays: matches ops.megakernel.TILE
+TILE = TILE_H * TILE_W  # 1024 rays = two 512-ray kernel tiles, each a 16x32 block
 
 
 def pad_hw(x, th: int = TILE_H, tw: int = TILE_W):
