@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ceres_tpu.models.camera import Camera, camera_rays_rows
+from ceres_tpu.models.camera import (Camera, camera_rays,
+                                     camera_rays_rows)
 from ceres_tpu.models.mesh import triangle_soup
 from ceres_tpu.models.transform import Transform
 from ceres_tpu.render.renderer import RenderConfig, render_wavefront
@@ -230,3 +231,142 @@ def turntable_transforms(num_frames: int, axis=(0.0, 1.0, 0.0),
         return Transform.identity(dtype).rotate(axis, angle)
 
     return jax.vmap(make)(angles)
+
+
+# ---------------------------------------------------------------------------
+# Primitive sharding (the TP-analog): geometry split across chips
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
+    from ceres_tpu.models.mesh import TriangleSoup
+    from ceres_tpu.models import shading as shading_mod
+    from ceres_tpu.render.renderer import (
+        SELF_INTERSECT_OFFSET, _any_shadow, _closest_primary, _normalize)
+    from ceres_tpu.utils import tiling
+
+    n = mesh.shape["rays"] * mesh.shape["frames"]
+    flat = Mesh(mesh.devices.reshape(-1), ("prims",))
+    F = faces.shape[0]
+    pad = (-F) % n
+    # Zero-padded faces are degenerate (p0 = p1 = p2 -> n = 0 -> det = 0):
+    # the NaN-safe Möller-Trumbore accept rejects them on every shard.
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+
+    dirs_hw = camera_rays(camera, config.width, config.height)
+    dirs = tiling.swizzle(dirs_hw) if config.backend == "megakernel" \
+        else dirs_hw.reshape(-1, 3)
+    R = dirs.shape[0]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=flat,
+        in_specs=(P(), P("prims"), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def fn(verts, faces_shard, vn_, cam, sun_, dirs_):
+        ax = jax.lax.axis_index("prims")
+        p0 = verts[faces_shard[:, 0]]
+        p1 = verts[faces_shard[:, 1]]
+        p2 = verts[faces_shard[:, 2]]
+        e1 = p0 - p1
+        e2 = p2 - p0
+        nrm = jnp.cross(e1, e2)
+        soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=nrm,
+                            corner_normals=vn_[faces_shard])
+
+        hit = _closest_primary(soup, cam, dirs_, config.backend)
+        t_local = jnp.where(hit.mask, hit.t, jnp.inf)
+        # Hit-distance min-combine across primitive shards (the TP-analog
+        # reduction, SURVEY.md §2: "each chip intersects its primitive
+        # shard, pmin over hit distance").
+        t_min = jax.lax.pmin(t_local, "prims")
+        hit_any = jnp.isfinite(t_min)
+        # Winner shard per ray, lowest shard id breaking exact-t ties so
+        # the shading sum counts each ray exactly once.
+        mine = hit.mask & (t_local == t_min)
+        win_ax = jax.lax.pmin(jnp.where(mine, ax, n), "prims")
+        winner = mine & (ax == win_ax)
+
+        prim = jnp.where(winner, hit.prim_id, 0)
+        rec_n = jnp.where(winner[:, None], soup.n[prim], 0.0)
+        n_glob = jax.lax.psum(rec_n, "prims")
+        point = cam.eye + jnp.where(hit_any, t_min, 0.0)[:, None] * dirs_
+        point = point + SELF_INTERSECT_OFFSET * _normalize(
+            jnp.where(hit_any[:, None], n_glob, 1.0))
+        sun_line = _normalize(sun_[None, :] - point)
+
+        if config.shadows:
+            occ_local = _any_shadow(soup, point, sun_line, config.backend,
+                                    skip=~hit_any)
+            occluded = jax.lax.psum(occ_local.astype(jnp.int32), "prims") > 0
+        else:
+            occluded = jnp.zeros((R,), bool)
+
+        if config.mode == "smooth":
+            shade_l = shading_mod.smooth_shading(
+                sun_line, soup.corner_normals[prim], dirs_, hit.u, hit.v)
+        elif config.mode in ("flat", "normal"):
+            shade_l = shading_mod.flat_shading(soup.n[prim])
+            if config.mode == "normal":
+                occluded = jnp.zeros_like(occluded)
+        else:
+            raise ValueError(f"unknown shading mode: {config.mode}")
+        shade = jax.lax.psum(jnp.where(winner[:, None], shade_l, 0.0),
+                             "prims")
+
+        lit = hit_any & ~occluded
+        color = jnp.where(lit[:, None], shade, 0.0)
+        primary_hits = jnp.sum(hit_any)
+        shadow_hits = jnp.sum(hit_any & occluded)
+        stats = {"rays": dirs_.shape[0] + primary_hits,
+                 "hits": primary_hits + shadow_hits,
+                 "primary_hits": primary_hits,
+                 "shadow_hits": shadow_hits}
+        return color, stats
+
+    color, stats = fn(vertices, faces_p, vn, camera, sun, dirs)
+    if config.backend == "megakernel":
+        image = tiling.unswizzle(color, config.height, config.width)
+        stats["rays"] = stats["rays"] - (R - config.height * config.width)
+    else:
+        image = color.reshape(config.height, config.width, 3)
+    return image, stats
+
+
+def render_primitive_sharded(
+    vertices,
+    faces,
+    camera: Camera,
+    sun_position,
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Primitive-sharded render: GEOMETRY split across chips, rays replicated.
+
+    The TP-analog for scenes exceeding one chip's memory (SURVEY.md §2
+    parallelism table / BASELINE north star: "mesh geometry replicated or
+    primitive-sharded"): each chip holds 1/N of the triangles, intersects
+    the full wavefront against its shard, and the closest hit is combined
+    with an all-reduce-min on hit distance; occlusion ORs across shards;
+    the winning shard contributes the shading. Same image as
+    renderer.render up to exact-distance tie-breaks.
+
+    Vertex normals are computed from the FULL mesh before sharding (the
+    area-weighted accumulation needs every incident face).
+    """
+    import dataclasses
+
+    from ceres_tpu.models.mesh import vertex_normals
+
+    config = dataclasses.replace(config or RenderConfig(), **kwargs)
+    if mesh is None:
+        mesh = device_mesh()
+    vertices = jnp.asarray(vertices)
+    faces = jnp.asarray(faces)
+    sun_position = jnp.asarray(sun_position, vertices.dtype)
+    vn = vertex_normals(vertices, faces)
+    return _render_prim_sharded_jit(vertices, faces, vn, camera,
+                                    sun_position, config, mesh)
