@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip shadow rays")
     p.add_argument("--sharded", action="store_true",
                    help="shard rays across all available devices")
+    p.add_argument("--primitive-sharded", action="store_true",
+                   help="shard GEOMETRY across devices instead of rays "
+                        "(for scenes exceeding one chip's memory)")
     p.add_argument("-d", "--double", action="store_true",
                    help="render in float64 (the reference's '-d' Scalar "
                         "axis, anim.cpp:145-158); forces the bruteforce "
@@ -99,7 +102,14 @@ def run(args) -> int:
     sun = np.asarray(args.sun, scalar)
 
     t1 = time.perf_counter()
-    if args.sharded:
+    if args.primitive_sharded:
+        from ceres_tpu.parallel.sharded import render_primitive_sharded
+
+        image, stats = render_primitive_sharded(
+            vertices, faces, camera, sun, width=args.width,
+            height=args.height, mode=args.mode, backend=args.backend,
+            shadows=not args.no_shadows)
+    elif args.sharded:
         from ceres_tpu.parallel.sharded import render_sharded
 
         image, stats = render_sharded(
