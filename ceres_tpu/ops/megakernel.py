@@ -45,22 +45,12 @@ from ceres_tpu.models.mesh import TriangleSoup
 from ceres_tpu.ops.intersect import Hit
 
 TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
-_LIST_BUDGET = 800_000  # total culling-list entries (n_tiles * n_clusters)
-
-
-def _pick_tile(num_rays: int, n_clusters: int) -> int:
-    """Smallest power-of-2 ray tile >= TILE keeping the per-tile culling
-    lists (n_tiles x n_clusters int32 + f32) to a sane size for
-    many-cluster scenes; perf is flat in tile size for small ones."""
-    tile = TILE
-    while -(-num_rays // tile) * n_clusters > _LIST_BUDGET:
-        tile *= 2
-    return tile
 
 
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _INV_CLAMP = 1e30
 _PREPASS_TILES = 32  # tiles per chunk in the dense culling prepass
+_WEIGHTS_CHUNK = 512  # clusters per kernel launch (8 MB of VMEM weights)
 
 
 def _interpret() -> bool:
@@ -206,12 +196,12 @@ def _closest_kernel(cnt_ref, list_ref, entry_ref, f_ref, w_ref, t_ref,
     test compares the TILE's slowest ray (max t) against the next sorted
     entry distance, so it is conservative and exact.
 
-    The whole packed weight tensor is VMEM-resident (16 KB per cluster —
-    scales to ~100k triangles; larger scenes raise the ray tile via
-    _pick_tile); a (tiles x clusters) scalar-prefetch grid with skipped
-    steps measured ~30% slower for coherent scenes and catastrophically
-    slower for many-cluster ones. tmin = 0 (primary rays from the eye,
-    reference ray.hpp:20).
+    This launch's weight slabs are VMEM-resident (16 KB per cluster, at
+    most _WEIGHTS_CHUNK of them — bigger scenes run as a chunk sequence
+    merged by t-min, see _cluster_chunks); a (tiles x clusters)
+    scalar-prefetch grid with skipped steps measured ~30% slower for
+    coherent scenes and catastrophically slower for many-cluster ones.
+    tmin = 0 (primary rays from the eye, reference ray.hpp:20).
     """
     count = cnt_ref[0, 0, 0]
     f = f_ref[0]                      # (R, Kp)
@@ -326,6 +316,16 @@ def _tile_rays(x, tile):
     return x.reshape((-1, tile) + x.shape[1:])
 
 
+def _cluster_chunks(n_c: int):
+    """Static chunking of the cluster axis: the kernel holds one chunk's
+    weight slabs in VMEM (16 KB/cluster), so bounding the chunk at
+    _WEIGHTS_CHUNK clusters (8 MB) lifts the whole-scene-in-VMEM cap —
+    scenes of any size run as a short static sequence of kernel launches
+    whose hits merge by t-min."""
+    return [(s, min(s + _WEIGHTS_CHUNK, n_c))
+            for s in range(0, n_c, _WEIGHTS_CHUNK)]
+
+
 def _closest_forward(p0, e1, e2, n, eye, dirs, cs=None):
     R = dirs.shape[0]
     if cs is None:
@@ -335,14 +335,27 @@ def _closest_forward(p0, e1, e2, n, eye, dirs, cs=None):
     # Shift cluster boxes by the origin so slab tests are origin-free.
     lo = jax.lax.stop_gradient(cs.lo - eye)
     hi = jax.lax.stop_gradient(cs.hi - eye)
-    tile = _pick_tile(R, cs.num_clusters)
+    tile = TILE
     dirs_tiled = _tile_rays(dirs, tile)
-    lists, entry, counts = _tile_cluster_lists(
-        lo, hi, jax.lax.stop_gradient(dirs_tiled))
     feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), tile)
-    t, pidx, u, v = _closest_pallas(feats_tiled, w, lists[:, None, :],
-                                    entry[:, None, :], counts[:, None, None],
-                                    _interpret())
+
+    t = pidx = u = v = None
+    for start, stop in _cluster_chunks(cs.num_clusters):
+        lists, entry, counts = _tile_cluster_lists(
+            lo[start:stop], hi[start:stop],
+            jax.lax.stop_gradient(dirs_tiled))
+        tc, pc, uc, vc = _closest_pallas(
+            feats_tiled, w[start:stop], lists[:, None, :],
+            entry[:, None, :], counts[:, None, None], _interpret())
+        pc = jnp.where(pc >= 0, pc + start * cs.cluster_size, pc)
+        if t is None:
+            t, pidx, u, v = tc, pc, uc, vc
+        else:
+            better = tc < t
+            t = jnp.where(better, tc, t)
+            pidx = jnp.where(better, pc, pidx)
+            u = jnp.where(better, uc, u)
+            v = jnp.where(better, vc, v)
     t = t.reshape(-1)[:R]
     pidx = pidx.reshape(-1)[:R]
     u = u.reshape(-1)[:R]
@@ -494,7 +507,7 @@ def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
     """
     soup, eye, dirs = jax.lax.stop_gradient((soup, eye, dirs))
     cs = cl.build_clusters_treelet(soup)
-    tile = _pick_tile(dirs.shape[0], cs.num_clusters)
+    tile = TILE
     dirs_tiled = _tile_rays(dirs, tile)
     _, _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
     steps = jnp.sum(counts)
@@ -511,7 +524,7 @@ def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
     hi = cs.hi - origin_shift
     if skip is None:
         skip = jnp.zeros(dirs.shape[:1], bool)
-    tile = _pick_tile(dirs.shape[0], cs.num_clusters)
+    tile = TILE
     _, _, counts = _tile_cluster_lists(
         lo, hi, _tile_rays(dirs, tile),
         _tile_rays(origins - origin_shift, tile), _tile_rays(~skip, tile))
@@ -542,18 +555,26 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     o = origins - shift
     if skip is None:
         skip = jnp.zeros((R,), bool)
-    tile = _pick_tile(R, cs.num_clusters)
+    tile = TILE
     dirs_tiled = _tile_rays(dirs, tile)
     orig_tiled = _tile_rays(o, tile)
-    alive = _tile_rays(~skip, tile)
-    lists, _, counts = _tile_cluster_lists(lo, hi, dirs_tiled, orig_tiled,
-                                           alive)
-    feats = _pad_feats(
+    feats_tiled = _tile_rays(_pad_feats(
         jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1),  # (R, 9)
-        w.shape[1])
-    occ = _any_pallas(
-        _tile_rays(feats, tile),
-        _tile_rays(skip.astype(jnp.int32), tile)[:, None, :],
-        w, lists[:, None, :], counts[:, None, None], _interpret(),
-    )
-    return (occ.reshape(-1)[:R] == 1) & ~skip
+        w.shape[1]), tile)
+
+    occluded = skip
+    for start, stop in _cluster_chunks(cs.num_clusters):
+        # Rays already occluded by an earlier chunk skip this one's work
+        # (both the culling lists and the kernel's all-resolved early exit
+        # see them as done).
+        alive = _tile_rays(~occluded, tile)
+        lists, _, counts = _tile_cluster_lists(
+            lo[start:stop], hi[start:stop], dirs_tiled, orig_tiled, alive)
+        occ = _any_pallas(
+            feats_tiled,
+            _tile_rays(occluded.astype(jnp.int32), tile)[:, None, :],
+            w[start:stop], lists[:, None, :], counts[:, None, None],
+            _interpret(),
+        )
+        occluded = occluded | (occ.reshape(-1)[:R] == 1)
+    return occluded & ~skip

@@ -151,3 +151,36 @@ class TestRenderBackendEquivalence:
         # tracks the largest gradient entries.
         np.testing.assert_allclose(gm, gb, rtol=1e-3,
                                    atol=3e-6 * np.abs(gb).max())
+
+
+class TestWeightChunking:
+    """Chunked cluster weights (the beyond-VMEM scene path) must be
+    pixel-identical to the single-launch kernel."""
+
+    def test_chunked_matches_unchunked(self, bunny, monkeypatch):
+        import numpy as np
+
+        from ceres_tpu.ops import megakernel as mk
+        from ceres_tpu.render.renderer import RenderConfig, render
+        from ceres_tpu.render import scenes
+
+        scene = scenes.bunny_scene()
+        cfg = RenderConfig(width=48, height=48, mode="smooth",
+                           backend="megakernel")
+        ref, ref_stats = render(scene.vertices, scene.faces, scene.camera,
+                                scene.sun, config=cfg)
+        ref = np.asarray(ref)
+        monkeypatch.setattr(mk, "_WEIGHTS_CHUNK", 16)  # bunny: ~61 clusters
+        import jax
+
+        jax.clear_caches()  # jit keys don't see module globals: force retrace
+        try:
+            img, stats = render(scene.vertices, scene.faces, scene.camera,
+                                scene.sun, config=cfg)
+            img = np.asarray(img)
+            hits = int(stats["hits"])
+        finally:
+            monkeypatch.undo()
+            jax.clear_caches()  # drop executables traced with chunk=16
+        np.testing.assert_array_equal(img, ref)
+        assert hits == int(ref_stats["hits"])
