@@ -2,33 +2,41 @@
 
 TPU replacement for the reference's per-ray BVH traversal hot loop
 (lib/bvh/single_ray_traverser.hpp:67-126 + triangle.hpp:95-115), inverted
-for a lockstep vector machine and split into two phases so the Pallas
-kernel never pays scalar-branch synchronization per culled cluster:
+for a lockstep vector machine and split into two phases:
 
-  1. **Culling prepass (pure JAX, dense).** Rays arrive in spatially
-     coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Every
-     (ray, cluster) slab test is evaluated as one dense vectorized pass —
-     the FastNodeIntersector test (node_intersectors.hpp:83-103) with the
-     RobustNodeIntersector's conservative padding — then reduced to a
-     per-tile compacted cluster list sorted FRONT TO BACK by tile entry
-     distance. XLA fuses this; there is no divergence and no scalar sync.
+  1. **Interval culling prepass (pure JAX).** Rays arrive in spatially
+     coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Each
+     tile is summarized by interval hulls of its ray directions (and
+     origins, for generic rays); every (tile, cluster) pair is then culled
+     with one conservative interval-arithmetic slab test — O(tiles x
+     clusters) with NO ray dimension, so the prepass cost is independent
+     of the wavefront size (the old dense per-ray pass was 512x more
+     work and dominated large scenes). Survivors are compacted per tile
+     and sorted FRONT TO BACK by a lower bound of the tile entry distance
+     (the tile analog of descend-nearer-first,
+     single_ray_traverser.hpp:95-113).
   2. **Intersection kernel (Pallas).** Per tile, a while-loop walks the
-     sorted list and EARLY-EXITS once every ray's closest hit precedes the
-     next cluster (the traverser's nearer-first + tmax-shrink pruning,
-     single_ray_traverser.hpp:59,95-113, vectorized per tile). Each visit
-     evaluates all R x C x 4 Möller-Trumbore numerators as ONE
+     sorted list. Each step first runs an exact per-ray slab test against
+     the cluster's AABB (the FastNodeIntersector form with precomputed
+     inverse directions, node_intersectors.hpp:83-103) — a ~30-cycle VPU
+     op — and only if some UNRESOLVED ray overlaps does it pay the dense
+     Möller-Trumbore evaluation: all R x C x 4 numerators as ONE
      (R, Kp) @ (Kp, 4C) matmul on the MXU (the bilinear factorization of
-     ceres_tpu.ops.intersect) with a branch-free division-free sign-test
-     epilogue keeping per-ray closest (t, u, v, id) — or an any-hit flag
-     (AnyPrimitiveIntersector semantics, primitive_intersectors.hpp:58-76)
-     with its own all-occluded early exit. Cluster weight slabs are
-     VMEM-resident (16 KB each).
+     ceres_tpu.ops.intersect) with a branch-free sign-test epilogue
+     keeping per-ray closest (t, packed id). The loop EARLY-EXITS once
+     every ray is resolved: a ray is done when its closest hit — or, for
+     rays that miss everything, its exit from the scene's root box —
+     precedes the next cluster's entry bound (the traverser's tmax-shrink
+     pruning, single_ray_traverser.hpp:59, without the background-pixel
+     worst case).
 
-Gradients: ``closest_hit_common_origin`` carries a custom VJP — backward
-re-derives the winning intersections analytically in plain JAX (R winners,
-not R x T pairs) and scatters grads to triangle records / camera / rays;
-visibility stays detached (standard differentiable-rendering convention).
-Occlusion (any-hit) is boolean and intentionally gradient-free.
+Gradients flow with NO custom VJP: the kernel only *finds* winner ids
+(integers, detached by construction — the standard differentiable-
+rendering visibility convention), and (t, u, v) are recomputed at the R
+winners by plain-JAX Möller-Trumbore (triangle.hpp:95-115), which JAX
+differentiates w.r.t. triangle records, camera eye, and ray directions.
+This also makes the prebuilt-``clusters`` fast lane fully differentiable:
+the structure is only used for the detached search.
 """
 
 from __future__ import annotations
@@ -49,8 +57,10 @@ TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
 
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _INV_CLAMP = 1e30
-_PREPASS_TILES = 32  # tiles per chunk in the dense culling prepass
+_PREPASS_TILES = 256  # tiles per chunk in the interval culling prepass
 _WEIGHTS_CHUNK = 512  # clusters per kernel launch (8 MB of VMEM weights)
+_ULP_PAD = 4e-6       # conservative slab widening (RobustNodeIntersector,
+                      # node_intersectors.hpp:54-79: never cull a true hit)
 
 
 def _interpret() -> bool:
@@ -64,53 +74,69 @@ def _safe_inverse(d):
 
 
 # ---------------------------------------------------------------------------
-# Phase 1: dense culling prepass (pure JAX)
+# Phase 1: interval culling prepass (pure JAX)
 # ---------------------------------------------------------------------------
 
-def _overlap_entry(lo, hi, origins, dirs):
-    """Slab entry distance of rays (chunk, R, 3) vs clusters (N_c, 3).
+def _interval_entry(lo, hi, dlo, dhi, olo=None, ohi=None):
+    """Conservative slab test of a ray BUNDLE hull against cluster boxes.
 
-    Returns (chunk, R, N_c) f32: the clamped slab entry distance
-    ``max(tn, 0)`` where the ray overlaps the cluster box, +_BIG where it
-    does not. ``origins`` may be None (rays from the coordinate origin).
-    tmax is +BIG: conservative, the kernel's accept does the exact test.
+    lo, hi: (N_c, 3) cluster AABBs. dlo/dhi (n_t, 3): per-tile direction
+    interval hull; olo/ohi: origin hull (None = common origin at 0, boxes
+    pre-shifted). Returns (n_t, N_c) f32: a LOWER bound of any member
+    ray's slab entry distance where overlap is possible, +_BIG where NO
+    member ray can overlap. Interval arithmetic over the corner products
+    of (box - o) * (1/d); axes whose direction interval straddles zero are
+    unrestrictive (their 1/d is not an interval). Conservative by
+    construction — the kernel's per-ray test is exact, so looseness only
+    costs scheduled (gated, cheap) visits.
     """
-    inv = _safe_inverse(dirs)                                # (..., R, 3)
-    if origins is None:
-        t0 = lo[None, None] * inv[..., None, :]              # (c, R, N_c, 3)
-        t1 = hi[None, None] * inv[..., None, :]
+    inv_a = _safe_inverse(dlo)[:, None, :]           # (n_t, 1, 3)
+    inv_b = _safe_inverse(dhi)[:, None, :]
+    straddle = ((dlo < 0) & (dhi > 0))[:, None, :]   # (n_t, 1, 3)
+
+    if olo is None:
+        n_lo = lo[None]                              # (1, N_c, 3) both ends
+        n_hi = hi[None]
+        corners = (n_lo * inv_a, n_lo * inv_b, n_hi * inv_a, n_hi * inv_b)
     else:
-        rel_lo = lo[None, None] - origins[..., None, :]
-        rel_hi = hi[None, None] - origins[..., None, :]
-        t0 = rel_lo * inv[..., None, :]
-        t1 = rel_hi * inv[..., None, :]
-    tn = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), 0.0)
-    tf = jnp.maximum(t0, t1).min(axis=-1)
-    # Conservative padding — the RobustNodeIntersector capability
-    # (node_intersectors.hpp:54-79, Ize's robust traversal): widen the slab
-    # interval by a few ulps so f32 rounding can never cull a cluster whose
-    # exact interval is nonempty. Culling is a prefilter here (the kernel's
-    # accept is exact), so padding costs only the occasional extra visit.
-    hit = tn * (1.0 - 4e-6) <= jnp.minimum(tf, _BIG) * (1.0 + 4e-6)
+        nl1 = lo[None] - ohi[:, None, :]
+        nl2 = lo[None] - olo[:, None, :]
+        nh1 = hi[None] - ohi[:, None, :]
+        nh2 = hi[None] - olo[:, None, :]
+        corners = (nl1 * inv_a, nl1 * inv_b, nl2 * inv_a, nl2 * inv_b,
+                   nh1 * inv_a, nh1 * inv_b, nh2 * inv_a, nh2 * inv_b)
+
+    emin = functools.reduce(jnp.minimum, corners)
+    emax = functools.reduce(jnp.maximum, corners)
+    emin = jnp.where(straddle, -_BIG, emin)
+    emax = jnp.where(straddle, _BIG, emax)
+    tn = jnp.maximum(emin.max(axis=-1), 0.0)         # (n_t, N_c)
+    tf = emax.min(axis=-1)
+    hit = tn * (1.0 - _ULP_PAD) <= jnp.minimum(tf, _BIG) * (1.0 + _ULP_PAD)
     # Empty clusters (inf/-inf sentinel boxes from treelet padding) would
-    # pass the inf-arithmetic slab test; mask them out explicitly.
-    hit = hit & jnp.all(hi >= lo, axis=-1)[None, None, :]
+    # pass the inf-arithmetic test; mask them out explicitly.
+    hit = hit & jnp.all(hi >= lo, axis=-1)[None, :]
     return jnp.where(hit, tn, _BIG)
 
 
+def _hull(x, alive):
+    """(n_t, R, 3) -> per-tile (lo, hi) hulls over alive rays."""
+    am = alive[..., None]
+    return (jnp.where(am, x, _BIG).min(axis=1),
+            jnp.where(am, x, -_BIG).max(axis=1))
+
+
 def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
-    """Per-tile overlapping-cluster lists, sorted FRONT TO BACK.
+    """Per-tile candidate cluster lists, sorted FRONT TO BACK.
 
     dirs_tiled: (n_tiles, R, 3). Returns (lists (n_tiles, N_c) int32 with
-    overlapping ids first in ascending tile entry distance, entry
-    (n_tiles, N_c) f32 matching distances (+_BIG past count), counts
-    (n_tiles,) int32). The ordering is the tile analog of the reference
-    traverser's descend-nearer-first rule (single_ray_traverser.hpp:95-113)
-    and enables the kernel's early exit once every ray's closest hit
-    precedes the next cluster. Chunked over tiles to bound the dense
-    (R, N_c) live set.
+    candidate ids first in ascending entry-bound order, entry
+    (n_tiles, N_c) f32 matching bounds (+_BIG past count), counts
+    (n_tiles,) int32). Chunked over tiles to bound the live set.
     """
     n_tiles = dirs_tiled.shape[0]
+    if alive is None:
+        alive = jnp.sum(dirs_tiled * dirs_tiled, axis=-1) > 0.0
     pad = (-n_tiles) % _PREPASS_TILES
 
     def padt(x):
@@ -118,28 +144,25 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
 
     dirs_p = padt(dirs_tiled).reshape(
         (-1, _PREPASS_TILES) + dirs_tiled.shape[1:])
+    alive_p = padt(alive).reshape(dirs_p.shape[:3])
     if origins_tiled is not None:
         orig_p = padt(origins_tiled).reshape(dirs_p.shape)
-    if alive is not None:
-        alive_p = padt(alive).reshape(dirs_p.shape[:3])
 
     def chunk_fn(args):
         if origins_tiled is None:
-            d = args if alive is None else args[0]
-            e = _overlap_entry(lo, hi, None, d)
+            d, a = args
+            dlo, dhi = _hull(d, a)
+            e = _interval_entry(lo, hi, dlo, dhi)
         else:
-            d, o = args[:2]
-            e = _overlap_entry(lo, hi, o, d)
-        if alive is not None:
-            e = jnp.where(args[-1][..., None], e, _BIG)
-        return jnp.min(e, axis=1)  # (chunk, N_c) nearest entry over rays
+            d, o, a = args
+            dlo, dhi = _hull(d, a)
+            olo, ohi = _hull(o, a)
+            e = _interval_entry(lo, hi, dlo, dhi, olo, ohi)
+        # Tiles with no alive rays (all padding / all skipped) get nothing.
+        return jnp.where(jnp.any(a, axis=1)[:, None], e, _BIG)
 
-    if origins_tiled is None and alive is None:
-        per_tile = jax.lax.map(chunk_fn, dirs_p)
-    elif origins_tiled is None:
+    if origins_tiled is None:
         per_tile = jax.lax.map(chunk_fn, (dirs_p, alive_p))
-    elif alive is None:
-        per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p))
     else:
         per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p, alive_p))
 
@@ -149,6 +172,50 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     lists = order.astype(jnp.int32)
     entry = jnp.take_along_axis(tn, order, axis=1)
     return lists, entry, counts
+
+
+def _ray_tcap(root_lo, root_hi, origins, dirs):
+    """Per-ray visit cap: exit distance from the scene's root AABB.
+
+    Every cluster box lies inside the root box, so a ray's slab entry to
+    any cluster is <= its exit from the root. A ray that found no hit is
+    therefore DONE once the walk passes its root exit — the fix for the
+    background-pixel worst case (a miss ray no longer pins the tile's
+    prune at +inf). Rays that miss the root entirely (or are padding) get
+    a negative cap and never extend the walk. origins=None means the
+    common-origin wavefront with pre-shifted boxes.
+    """
+    inv = _safe_inverse(dirs)
+    if origins is None:
+        t0 = root_lo * inv
+        t1 = root_hi * inv
+    else:
+        t0 = (root_lo - origins) * inv
+        t1 = (root_hi - origins) * inv
+    tn = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), 0.0)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    alive = jnp.sum(dirs * dirs, axis=-1) > 0.0
+    hit = (tn * (1.0 - _ULP_PAD) <= tf * (1.0 + _ULP_PAD)) & alive
+    return jnp.where(hit, tf * (1.0 + _ULP_PAD), -1.0)
+
+
+def _inv_dirs8(dirs_tiled, origins_tiled=None):
+    """Per-tile (8, R) slab-test operands for the kernel.
+
+    Rows 0-2 / 3-5 both hold the inverse directions (so one broadcastable
+    multiply against the cluster's stacked [lo, hi] scalars yields all six
+    slab products at once); rows 6-7 are zero. When ``origins_tiled`` is
+    given, also returns the matching scaled-origin rows o * (1/d) — the
+    FastNodeIntersector precomputation (node_intersectors.hpp:89-94).
+    """
+    inv = _safe_inverse(jnp.swapaxes(dirs_tiled, 1, 2))   # (n_t, 3, R)
+    zeros = jnp.zeros(inv.shape[:1] + (2,) + inv.shape[2:], inv.dtype)
+    inv8 = jnp.concatenate([inv, inv, zeros], axis=1)     # (n_t, 8, R)
+    if origins_tiled is None:
+        return inv8
+    so = jnp.swapaxes(origins_tiled, 1, 2) * inv          # (n_t, 3, R)
+    so8 = jnp.concatenate([so, so, zeros], axis=1)
+    return inv8, so8
 
 
 # ---------------------------------------------------------------------------
@@ -162,9 +229,7 @@ def _mt_channels(wj, feats, c_size):
     feats: (R, Kp) per-ray feature vectors, already padded with the
     implicit 1 and zeros. ONE ``jnp.dot`` -> the MXU evaluates all
     R x C x 4 numerators as a (R, Kp) @ (Kp, 4C) matmul — the point of the
-    bilinear MT factorization (ceres_tpu.ops.intersect docstring); the
-    previous chained VPU broadcast-FMA form was ~5x slower on real
-    hardware.
+    bilinear MT factorization (ceres_tpu.ops.intersect docstring).
     """
     out = jnp.dot(feats, wj, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)   # (R, 4C)
@@ -172,7 +237,7 @@ def _mt_channels(wj, feats, c_size):
             out[:, 2 * c_size:3 * c_size], out[:, 3 * c_size:])
 
 
-def _accept_sign(nu, nv, nd, nt):
+def _accept_min(nu, nv, nd, nt):
     """Division-free MT accept: u,v,w,t >= 0 as sign tests on numerators.
 
     u = nu/det >= 0  <=>  nu * sign(det) >= 0 (det != 0), etc; w's numerator
@@ -181,85 +246,110 @@ def _accept_sign(nu, nv, nd, nt):
     materializing the divisions.
     """
     s = jnp.where(nd >= 0, 1.0, -1.0)
-    return ((nu * s >= 0) & (nv * s >= 0)
-            & ((nd - nu - nv) * s >= 0) & (nt * s >= 0) & (nd != 0))
+    m = jnp.minimum(jnp.minimum(nu * s, nv * s),
+                    jnp.minimum((nd - nu - nv) * s, nt * s))
+    return (m >= 0) & (nd != 0)
 
 
-def _closest_kernel(cnt_ref, list_ref, entry_ref, f_ref, w_ref, t_ref,
-                    id_ref, u_ref, v_ref):
-    """One ray-tile grid step: walk the culled clusters FRONT TO BACK and
-    stop as soon as every ray's closest hit precedes the next cluster.
+def _slab_overlap(box_row, inv8, soff8=None):
+    """Exact per-ray slab test of one cluster box against the tile's rays.
 
-    This is the reference traverser's closest-hit pruning — descend nearer
-    child first, shrink tmax, skip farther nodes already beyond it
-    (single_ray_traverser.hpp:59,95-113) — vectorized per tile: the prune
-    test compares the TILE's slowest ray (max t) against the next sorted
-    entry distance, so it is conservative and exact.
+    box_row: (8, 1) stacked [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, 0, 0];
+    inv8/soff8: (8, R) per-ray operands from _inv_dirs8. Returns
+    ((R,) bool overlap, (R,) f32 entry distance tn). The
+    FastNodeIntersector slab test (node_intersectors.hpp:35-47,83-103)
+    with robust_min/max NaN ordering via jnp.minimum/maximum and the
+    conservative ulp pad.
+    """
+    prods = box_row * inv8 if soff8 is None else box_row * inv8 - soff8
+    near = jnp.minimum(prods[0:3], prods[3:6])    # (3, R)
+    far = jnp.maximum(prods[0:3], prods[3:6])
+    tn = jnp.maximum(jnp.max(near, axis=0), 0.0)  # (R,)
+    tf = jnp.min(far, axis=0)
+    return tn * (1.0 - _ULP_PAD) <= tf * (1.0 + _ULP_PAD), tn
 
+
+def _closest_kernel(cnt_ref, list_ref, entry_ref, box_ref, f_ref, inv_ref,
+                    tcap_ref, w_ref, t_ref, id_ref, steps_ref, visits_ref):
+    """One ray-tile grid step: walk the culled clusters FRONT TO BACK,
+    gating each Möller-Trumbore block on an exact per-ray slab test, and
+    stop as soon as every ray is resolved.
+
+    A ray is resolved when min(its closest hit, its root-box exit cap)
+    precedes the next cluster's entry bound — the reference traverser's
+    closest-hit pruning (single_ray_traverser.hpp:59,95-113) vectorized
+    per tile, with the scene-exit cap handling rays that miss everything.
     This launch's weight slabs are VMEM-resident (16 KB per cluster, at
     most _WEIGHTS_CHUNK of them — bigger scenes run as a chunk sequence
-    merged by t-min, see _cluster_chunks); a (tiles x clusters)
-    scalar-prefetch grid with skipped steps measured ~30% slower for
-    coherent scenes and catastrophically slower for many-cluster ones.
-    tmin = 0 (primary rays from the eye, reference ray.hpp:20).
+    merged by t-min, see _cluster_chunks).
     """
     count = cnt_ref[0, 0, 0]
     f = f_ref[0]                      # (R, Kp)
+    inv8 = inv_ref[0]                 # (8, R)
+    tcap = tcap_ref[0, 0, :]          # (R,)
     R = f.shape[0]
     C = w_ref.shape[2] // 4
     n_c = list_ref.shape[2]
 
     t_ref[0, 0, :] = jnp.full((R,), _BIG, jnp.float32)
     id_ref[0, 0, :] = jnp.full((R,), -1, jnp.int32)
-    u_ref[0, 0, :] = jnp.zeros((R,), jnp.float32)
-    v_ref[0, 0, :] = jnp.zeros((R,), jnp.float32)
 
-    def cond(k):
+    def cond(state):
+        k, _ = state
         more = k < count
         nxt = entry_ref[0, 0, jnp.minimum(k, n_c - 1)]
-        return more & (jnp.max(t_ref[0, 0, :]) >= nxt)
+        prune = jnp.max(jnp.minimum(t_ref[0, 0, :], tcap))
+        return more & (prune >= nxt)
 
-    def body(k):
+    def body(state):
+        k, visits = state
         cid = list_ref[0, 0, k]
-        wj = w_ref[cid]               # (Kp, 4C)
-        nu, nv, nd, nt = _mt_channels(wj, f, C)
-        acc = _accept_sign(nu, nv, nd, nt)   # implies t >= 0 (nt*s >= 0)
-        inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
-        tt = nt * inv
-        # No running-t term in the pair mask: keeps the epilogue free of
-        # the loop-carried dependency (only the final update reads t_ref),
-        # so the next visit's matmul can overlap this epilogue.
-        tpair = jnp.where(acc, tt, _BIG)
-        t_min = jnp.min(tpair, axis=1)
+        box_row = box_ref[cid]        # (8, 1)
+        overlap, tn = _slab_overlap(box_row, inv8)
         t_c = t_ref[0, 0, :]
-        ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
-        idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, C), axis=1)
-        # u, v of the winning lane (one-hot select: no per-ray gather).
-        sel = ids == idx[:, None]
-        u_min = jnp.sum(jnp.where(sel, nu * inv, 0.0), axis=1)
-        v_min = jnp.sum(jnp.where(sel, nv * inv, 0.0), axis=1)
-        better = t_min < t_c
-        t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
-        id_ref[0, 0, :] = jnp.where(better, cid * C + idx, id_ref[0, 0, :])
-        u_ref[0, 0, :] = jnp.where(better, u_min, u_ref[0, 0, :])
-        v_ref[0, 0, :] = jnp.where(better, v_min, v_ref[0, 0, :])
-        return k + 1
+        live = overlap & (tn <= jnp.minimum(t_c, tcap))
+        go = jnp.any(live)
 
-    jax.lax.while_loop(cond, body, 0)
+        @pl.when(go)
+        def _():
+            wj = w_ref[cid]               # (Kp, 4C)
+            nu, nv, nd, nt = _mt_channels(wj, f, C)
+            acc = _accept_min(nu, nv, nd, nt)   # implies t >= 0
+            inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
+            tpair = jnp.where(acc, nt * inv, _BIG)
+            t_min = jnp.min(tpair, axis=1)
+            better = t_min < t_c
+            ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
+            idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, C), axis=1)
+            t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
+            id_ref[0, 0, :] = jnp.where(better, cid * C + idx,
+                                        id_ref[0, 0, :])
+
+        return k + 1, visits + go.astype(jnp.int32)
+
+    steps, visits = jax.lax.while_loop(cond, body, (0, 0))
+    steps_ref[0, 0, 0] = steps
+    visits_ref[0, 0, 0] = visits
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_pallas(feats_tiled, weights, lists, entry, counts, interpret):
+def _closest_pallas(feats_tiled, inv_tiled, tcap_tiled, boxes, weights,
+                    lists, entry, counts, interpret):
     n_tiles, R, Kp = feats_tiled.shape
     n_c = weights.shape[0]
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
     ]
-    out_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    out_specs = [ray_spec, ray_spec,
+                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM),
+                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         _closest_kernel,
         grid=(n_tiles,),
@@ -270,15 +360,22 @@ def _closest_pallas(feats_tiled, weights, lists, entry, counts, interpret):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(counts, lists, entry, feats_tiled, weights)
+    )(counts, lists, entry, boxes, feats_tiled, inv_tiled, tcap_tiled,
+      weights)
 
 
 def _pack_weights(w):
@@ -295,6 +392,22 @@ def _pack_weights(w):
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
     return w
+
+
+def _pack_boxes(lo, hi):
+    """(N_c, 3) x 2 -> (N_c, 8, 1): the kernel's VMEM box table.
+
+    Stacked [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, 0, 0] per cluster so one
+    dynamic row read yields the (8, 1) _slab_overlap multiplier. Empty
+    padding clusters (inf/-inf) are rewritten to a point box far outside
+    the scene so their slab products stay finite (they are never listed
+    anyway).
+    """
+    empty = jnp.any(hi < lo, axis=-1, keepdims=True)
+    lo = jnp.where(empty, 2.0 * _BIG / _INV_CLAMP, lo)
+    hi = jnp.where(empty, 2.0 * _BIG / _INV_CLAMP, hi)
+    zeros = jnp.zeros_like(lo[:, :1])
+    return jnp.concatenate([lo, hi, zeros, zeros], axis=-1)[:, :, None]
 
 
 def _pad_feats(feats, kp):
@@ -326,150 +439,176 @@ def _cluster_chunks(n_c: int):
             for s in range(0, n_c, _WEIGHTS_CHUNK)]
 
 
-def _closest_forward(p0, e1, e2, n, eye, dirs, cs=None):
-    R = dirs.shape[0]
-    if cs is None:
-        soup = TriangleSoup(p0=p0, e1=e1, e2=e2, n=n)
-        cs = cl.build_clusters_treelet(soup)
-    w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
-    # Shift cluster boxes by the origin so slab tests are origin-free.
-    lo = jax.lax.stop_gradient(cs.lo - eye)
-    hi = jax.lax.stop_gradient(cs.hi - eye)
-    tile = TILE
-    dirs_tiled = _tile_rays(dirs, tile)
-    feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), tile)
+def _scene_root(cs):
+    """Root AABB over the non-empty cluster boxes."""
+    nonempty = jnp.all(cs.hi >= cs.lo, axis=-1, keepdims=True)
+    root_lo = jnp.where(nonempty, cs.lo, _BIG).min(axis=0)
+    root_hi = jnp.where(nonempty, cs.hi, -_BIG).max(axis=0)
+    return root_lo, root_hi
 
-    t = pidx = u = v = None
+
+def _closest_search(cs, eye, dirs):
+    """Detached winner search: packed slot ids + counters (no gradients)."""
+    cs, eye, dirs = jax.lax.stop_gradient((cs, eye, dirs))
+    R = dirs.shape[0]
+    w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
+    lo = cs.lo - eye
+    hi = cs.hi - eye
+    root_lo, root_hi = _scene_root(cs)
+    dirs_tiled = _tile_rays(dirs, TILE)
+    feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), TILE)
+    inv_tiled = _inv_dirs8(dirs_tiled)
+    tcap_tiled = _tile_rays(
+        _ray_tcap(root_lo - eye, root_hi - eye, None, dirs), TILE)[:, None, :]
+
+    t = pidx = None
+    steps = visits = 0
     for start, stop in _cluster_chunks(cs.num_clusters):
         lists, entry, counts = _tile_cluster_lists(
-            lo[start:stop], hi[start:stop],
-            jax.lax.stop_gradient(dirs_tiled))
-        tc, pc, uc, vc = _closest_pallas(
-            feats_tiled, w[start:stop], lists[:, None, :],
-            entry[:, None, :], counts[:, None, None], _interpret())
+            lo[start:stop], hi[start:stop], dirs_tiled)
+        boxes = _pack_boxes(lo[start:stop], hi[start:stop])
+        tc, pc, sc, vc = _closest_pallas(
+            feats_tiled, inv_tiled, tcap_tiled, boxes, w[start:stop],
+            lists[:, None, :], entry[:, None, :], counts[:, None, None],
+            _interpret())
         pc = jnp.where(pc >= 0, pc + start * cs.cluster_size, pc)
+        steps = steps + jnp.sum(sc)
+        visits = visits + jnp.sum(vc)
         if t is None:
-            t, pidx, u, v = tc, pc, uc, vc
+            t, pidx = tc, pc
         else:
             better = tc < t
             t = jnp.where(better, tc, t)
             pidx = jnp.where(better, pc, pidx)
-            u = jnp.where(better, uc, u)
-            v = jnp.where(better, vc, v)
-    t = t.reshape(-1)[:R]
-    pidx = pidx.reshape(-1)[:R]
-    u = u.reshape(-1)[:R]
-    v = v.reshape(-1)[:R]
-    mask = pidx >= 0
-    prim = jnp.where(mask, cs.perm[jnp.clip(pidx, 0)], 0).astype(jnp.int32)
-    t = jnp.where(mask, t, jnp.inf)
-    u = jnp.where(mask, u, 0.0)
-    v = jnp.where(mask, v, 0.0)
-    return Hit(t=t, u=u, v=v, prim_id=prim, mask=mask)
-
-
-@jax.custom_vjp
-def _closest_hit(p0, e1, e2, n, eye, dirs):
-    return _closest_forward(p0, e1, e2, n, eye, dirs)
-
-
-def _closest_fwd(p0, e1, e2, n, eye, dirs):
-    hit = _closest_forward(p0, e1, e2, n, eye, dirs)
-    return hit, (p0, e1, e2, n, eye, dirs, hit.prim_id, hit.mask)
+    return pidx.reshape(-1)[:R], {"traversal_steps": steps,
+                                  "mt_block_visits": visits}
 
 
 def _winner_tuv(p0w, e1w, e2w, nw, eye, d):
-    """Reference MT recomputation for (ray, winning triangle) pairs.
+    """Reference Möller-Trumbore at (ray, winning triangle) pairs.
 
-    Exactly triangle.hpp:95-115 with c = p0 - eye: gradients of (t, u, v)
-    w.r.t. every continuous input, evaluated only at the R winners instead
-    of through the R x T search.
+    Exactly triangle.hpp:95-115 with c = p0 - eye, evaluated only at the R
+    winners instead of through the R x T search — this is where gradients
+    of (t, u, v) w.r.t. vertices / camera / ray directions come from.
     """
     c = p0w - eye
     r = jnp.cross(d, c)
     det = jnp.sum(nw * d, axis=-1)
-    inv = 1.0 / det
+    # det == 0 can only occur at non-winner (masked) rays — the kernel's
+    # accept requires det != 0 — but an unprotected 1/0 there would poison
+    # gradients through the final jnp.where (0 cotangent x inf partial).
+    inv = 1.0 / jnp.where(det != 0, det, 1.0)
     u = jnp.sum(r * e2w, axis=-1) * inv
     v = jnp.sum(r * e1w, axis=-1) * inv
     t = jnp.sum(nw * c, axis=-1) * inv
     return t, u, v
 
 
-def _closest_bwd(res, g):
-    p0, e1, e2, n, eye, dirs, prim, mask = res
-    gt = jnp.where(mask, g.t, 0.0)
-    gu = jnp.where(mask, g.u, 0.0)
-    gv = jnp.where(mask, g.v, 0.0)
-
-    p0w, e1w, e2w, nw = p0[prim], e1[prim], e2[prim], n[prim]
-    _, vjp = jax.vjp(_winner_tuv, p0w, e1w, e2w, nw,
-                     jnp.broadcast_to(eye, dirs.shape), dirs)
-    gp0w, ge1w, ge2w, gnw, geye_r, gdirs = vjp((gt, gu, gv))
-
-    m = mask[:, None]
-    zero = jnp.zeros_like(p0)
-    gp0 = zero.at[prim].add(jnp.where(m, gp0w, 0.0))
-    ge1 = zero.at[prim].add(jnp.where(m, ge1w, 0.0))
-    ge2 = zero.at[prim].add(jnp.where(m, ge2w, 0.0))
-    gn = zero.at[prim].add(jnp.where(m, gnw, 0.0))
-    geye = jnp.sum(jnp.where(m, geye_r, 0.0), axis=0)
-    gdirs = jnp.where(m, gdirs, 0.0)
-    return gp0, ge1, ge2, gn, geye, gdirs
-
-
-_closest_hit.defvjp(_closest_fwd, _closest_bwd)
-
-
-def closest_hit_common_origin(soup: TriangleSoup, eye, dirs,
-                              clusters=None) -> Hit:
+def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
+                              with_counts=False):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
     With ``clusters`` (a prebuilt ClusterSet for this exact soup) the
     acceleration-structure build is skipped — the fast lane for frame
-    loops over static geometry, where rebuilding the LBVH per frame
-    dominates (XLA does not hoist it out of ``lax.map``). This lane is
-    NON-differentiable (no custom VJP); pass ``clusters=None`` wherever
-    gradients are needed.
+    loops over static geometry. Fully differentiable either way: the
+    structure only drives the detached winner search; (t, u, v) come from
+    a plain-JAX Möller-Trumbore recomputation at the winners, gathered
+    from ``soup`` by original triangle id.
+
+    ``with_counts=True`` additionally returns the traversal counters
+    (actual kernel loop steps and gated MT block visits) — the
+    SingleRayTraverser::Statistics capability
+    (single_ray_traverser.hpp:131-163), measured, not scheduled.
     """
-    if clusters is not None:
-        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
-        args = jax.lax.stop_gradient(
-            (soup.p0, soup.e1, soup.e2, soup.n, eye, dirs))
-        return _closest_forward(*args, cs=cs)
-    return _closest_hit(soup.p0, soup.e1, soup.e2, soup.n, eye, dirs)
+    cs = clusters
+    if cs is None:
+        cs = cl.build_clusters_treelet(
+            jax.tree.map(jax.lax.stop_gradient, soup))
+    pidx, counts = _closest_search(cs, eye, dirs)
+    mask = pidx >= 0
+    prim = jnp.where(mask, cs.perm[jnp.clip(pidx, 0)], 0).astype(jnp.int32)
+    table = jnp.concatenate([soup.p0, soup.e1, soup.e2, soup.n], axis=-1)
+    rec = table[prim]                               # one (R, 12) row gather
+    t, u, v = _winner_tuv(rec[:, 0:3], rec[:, 3:6], rec[:, 6:9],
+                          rec[:, 9:12], eye, dirs)
+    hit = Hit(t=jnp.where(mask, t, jnp.inf),
+              u=jnp.where(mask, u, 0.0),
+              v=jnp.where(mask, v, 0.0),
+              prim_id=prim, mask=mask)
+    if with_counts:
+        counts["mt_pairs"] = (counts["mt_block_visits"]
+                              * TILE * cs.cluster_size)
+        return hit, counts
+    return hit
 
 
-def _any_kernel(cnt_ref, list_ref, f_ref, skip_ref, w_ref, occ_ref):
-    """Occlusion tile: tmin = 0 / tmax = inf are the sign tests already.
-
-    Early exit once every ray in the tile is occluded (or skipped) — the
-    AnyPrimitiveIntersector's first-hit termination
-    (single_ray_traverser.hpp:57-58,92-93) vectorized per tile.
+def _any_kernel(cnt_ref, list_ref, entry_ref, box_ref, f_ref, inv_ref,
+                soff_ref, tcap_ref, skip_ref, w_ref, occ_ref, steps_ref,
+                visits_ref):
+    """Occlusion tile: early exit once every ray is occluded, skipped, or
+    past its root-box exit — the AnyPrimitiveIntersector's first-hit
+    termination (single_ray_traverser.hpp:57-58,92-93) vectorized per
+    tile. Each step gates the MT block on the exact per-ray slab test of
+    still-unresolved rays.
     """
     count = cnt_ref[0, 0, 0]
     f = f_ref[0]                        # (R, Kp): [d, d x o, o, 1, pad]
+    inv8 = inv_ref[0]
+    soff8 = soff_ref[0]
+    tcap = tcap_ref[0, 0, :]
     C = w_ref.shape[2] // 4
+    n_c = list_ref.shape[2]
     occ_ref[0, 0, :] = skip_ref[0, 0, :]
 
-    def cond(k):
-        return (k < count) & (jnp.min(occ_ref[0, 0, :]) == 0)
+    def cond(state):
+        k, _ = state
+        more = k < count
+        nxt = entry_ref[0, 0, jnp.minimum(k, n_c - 1)]
+        prune = jnp.max(jnp.where(occ_ref[0, 0, :] == 1, -1.0, tcap))
+        return more & (prune >= nxt)
 
-    def body(k):
+    def body(state):
+        k, visits = state
         cid = list_ref[0, 0, k]
-        wj = w_ref[cid]                 # (Kp, 4C)
-        nu, nv, nd, nt = _mt_channels(wj, f, C)
-        acc = _accept_sign(nu, nv, nd, nt)
-        hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
-        occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
-        return k + 1
+        box_row = box_ref[cid]        # (8, 1)
+        overlap, tn = _slab_overlap(box_row, inv8, soff8)
+        unresolved = occ_ref[0, 0, :] == 0
+        live = overlap & unresolved & (tn <= tcap)
+        go = jnp.any(live)
 
-    jax.lax.while_loop(cond, body, 0)
+        @pl.when(go)
+        def _():
+            wj = w_ref[cid]                 # (Kp, 4C)
+            nu, nv, nd, nt = _mt_channels(wj, f, C)
+            acc = _accept_min(nu, nv, nd, nt)
+            hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
+            occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
+
+        return k + 1, visits + go.astype(jnp.int32)
+
+    steps, visits = jax.lax.while_loop(cond, body, (0, 0))
+    steps_ref[0, 0, 0] = steps
+    visits_ref[0, 0, 0] = visits
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, interpret):
+def _any_pallas(feats_tiled, inv_tiled, soff_tiled, tcap_tiled, skip_tiled,
+                boxes, weights, lists, entry, counts, interpret):
     n_tiles, R, Kp = feats_tiled.shape
     n_c = weights.shape[0]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
     return pl.pallas_call(
         _any_kernel,
         grid=(n_tiles,),
@@ -478,62 +617,32 @@ def _any_pallas(feats_tiled, skip_tiled, weights, lists, counts, interpret):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(counts, lists, feats_tiled, skip_tiled, weights)
-
-
-def traversal_counts_common_origin(soup: TriangleSoup, eye, dirs):
-    """(traversal_steps, intersections) for the primary wavefront.
-
-    The SingleRayTraverser::Statistics capability
-    (single_ray_traverser.hpp:131-163), recast for the cluster structure:
-    ``traversal_steps`` counts kernel (tile, cluster) loop iterations (the
-    analog of node visits), ``intersections`` the Möller-Trumbore pair
-    evaluations those iterations perform (TILE rays x cluster_size
-    triangles each, padding tiles included). Pure prepass math — inside
-    one jit with the render the cluster build and culling lists are CSEd,
-    so the counters are effectively free, like the reference's no-op
-    counter trick (:146-152).
-    """
-    soup, eye, dirs = jax.lax.stop_gradient((soup, eye, dirs))
-    cs = cl.build_clusters_treelet(soup)
-    tile = TILE
-    dirs_tiled = _tile_rays(dirs, tile)
-    _, _, counts = _tile_cluster_lists(cs.lo - eye, cs.hi - eye, dirs_tiled)
-    steps = jnp.sum(counts)
-    return steps, steps * tile * cs.cluster_size
-
-
-def traversal_counts_any(soup: TriangleSoup, origin_shift, origins, dirs,
-                         skip=None):
-    """(traversal_steps, intersections) for a generic-origin wavefront."""
-    soup, origin_shift, origins, dirs = jax.lax.stop_gradient(
-        (soup, origin_shift, origins, dirs))
-    cs = cl.build_clusters_treelet(soup)
-    lo = cs.lo - origin_shift
-    hi = cs.hi - origin_shift
-    if skip is None:
-        skip = jnp.zeros(dirs.shape[:1], bool)
-    tile = TILE
-    _, _, counts = _tile_cluster_lists(
-        lo, hi, _tile_rays(dirs, tile),
-        _tile_rays(origins - origin_shift, tile), _tile_rays(~skip, tile))
-    steps = jnp.sum(counts)
-    return steps, steps * tile * cs.cluster_size
+    )(counts, lists, entry, boxes, feats_tiled, inv_tiled, soff_tiled,
+      tcap_tiled, skip_tiled, weights)
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
-            clusters=None):
+            clusters=None, with_counts=False):
     """Occlusion test: True where a ray (origins[i], dirs[i]) hits anything.
 
     ``origin_shift`` recenters the world for conditioning (see
@@ -541,6 +650,8 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     irrelevant (no primary hit) so they generate no traversal work.
     ``clusters`` skips the structure build (see closest_hit_common_origin).
     Boolean, intentionally non-differentiable (detached visibility).
+    ``with_counts=True`` additionally returns the measured traversal
+    counters.
     """
     p0, e1, e2, n, shift, origins, dirs = jax.lax.stop_gradient(
         (soup.p0, soup.e1, soup.e2, soup.n, origin_shift, origins, dirs))
@@ -552,29 +663,39 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
     lo = cs.lo - shift
     hi = cs.hi - shift
+    root_lo, root_hi = _scene_root(cs)
     o = origins - shift
     if skip is None:
         skip = jnp.zeros((R,), bool)
-    tile = TILE
-    dirs_tiled = _tile_rays(dirs, tile)
-    orig_tiled = _tile_rays(o, tile)
+    dirs_tiled = _tile_rays(dirs, TILE)
+    orig_tiled = _tile_rays(o, TILE)
+    alive = _tile_rays(~skip, TILE) & (
+        jnp.sum(dirs_tiled * dirs_tiled, axis=-1) > 0.0)
     feats_tiled = _tile_rays(_pad_feats(
         jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1),  # (R, 9)
-        w.shape[1]), tile)
+        w.shape[1]), TILE)
+    inv_tiled, soff_tiled = _inv_dirs8(dirs_tiled, orig_tiled)
+    tcap_tiled = _tile_rays(
+        _ray_tcap(root_lo - shift, root_hi - shift, o, dirs), TILE)[:, None]
 
     occluded = skip
+    steps = visits = 0
     for start, stop in _cluster_chunks(cs.num_clusters):
-        # Rays already occluded by an earlier chunk skip this one's work
-        # (both the culling lists and the kernel's all-resolved early exit
-        # see them as done).
-        alive = _tile_rays(~occluded, tile)
-        lists, _, counts = _tile_cluster_lists(
+        lists, entry, counts = _tile_cluster_lists(
             lo[start:stop], hi[start:stop], dirs_tiled, orig_tiled, alive)
-        occ = _any_pallas(
-            feats_tiled,
-            _tile_rays(occluded.astype(jnp.int32), tile)[:, None, :],
-            w[start:stop], lists[:, None, :], counts[:, None, None],
-            _interpret(),
+        boxes = _pack_boxes(lo[start:stop], hi[start:stop])
+        occ, sc, vc = _any_pallas(
+            feats_tiled, inv_tiled, soff_tiled, tcap_tiled,
+            _tile_rays(occluded.astype(jnp.int32), TILE)[:, None, :],
+            boxes, w[start:stop], lists[:, None, :], entry[:, None, :],
+            counts[:, None, None], _interpret(),
         )
+        steps = steps + jnp.sum(sc)
+        visits = visits + jnp.sum(vc)
         occluded = occluded | (occ.reshape(-1)[:R] == 1)
-    return occluded & ~skip
+    result = occluded & ~skip
+    if with_counts:
+        cnts = {"traversal_steps": steps, "mt_block_visits": visits,
+                "mt_pairs": visits * TILE * cs.cluster_size}
+        return result, cnts
+    return result

@@ -103,11 +103,19 @@ def render_wavefront(
     config: RenderConfig,
     clusters=None,  # prebuilt ClusterSet: skips the per-call structure
                     # build (frame loops over static geometry); megakernel
-                    # backend only, non-differentiable
+                    # backend only. Fully differentiable — the structure
+                    # only drives the detached winner search.
 ):
     """Render a flat wavefront of primary rays -> ((R, 3) colors, stats)."""
-    hit = _closest_primary(soup, camera, dirs, config.backend,
-                           clusters=clusters)
+    want_counts = config.traversal_stats and config.backend == "megakernel"
+    if want_counts:
+        from ceres_tpu.ops import megakernel
+
+        hit, counts1 = megakernel.closest_hit_common_origin(
+            soup, camera.eye, dirs, clusters=clusters, with_counts=True)
+    else:
+        hit = _closest_primary(soup, camera, dirs, config.backend,
+                               clusters=clusters)
 
     prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
     u, v = hit.u, hit.v
@@ -136,9 +144,17 @@ def render_wavefront(
     point = point + SELF_INTERSECT_OFFSET * _normalize(n)
     sun_line = _normalize(sun_position[None, :] - point)
 
+    counts2 = None
     if config.shadows:
-        occluded = _any_shadow(soup, point, sun_line, config.backend,
-                               skip=~hit.mask, clusters=clusters)
+        if want_counts:
+            from ceres_tpu.ops import megakernel
+
+            occluded, counts2 = megakernel.any_hit(
+                soup, _scene_center(soup), point, sun_line, skip=~hit.mask,
+                clusters=clusters, with_counts=True)
+        else:
+            occluded = _any_shadow(soup, point, sun_line, config.backend,
+                                   skip=~hit.mask, clusters=clusters)
     else:
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 
@@ -167,25 +183,25 @@ def render_wavefront(
     if config.traversal_stats:
         R = dirs.shape[0]
         T = soup.num_triangles
-        if config.backend == "megakernel":
-            from ceres_tpu.ops import megakernel
-
-            s1, i1 = megakernel.traversal_counts_common_origin(
-                soup, camera.eye, dirs)
-            if config.shadows:
-                s2, i2 = megakernel.traversal_counts_any(
-                    soup, _scene_center(soup), point, sun_line,
-                    skip=~hit.mask)
-            else:
-                s2 = i2 = jnp.asarray(0)
+        if want_counts:
+            # Measured inside the kernel (actual loop iterations and gated
+            # MT block executions — early exits and skips included), not
+            # the scheduled upper bound. SingleRayTraverser::Statistics
+            # parity (single_ray_traverser.hpp:131-163).
+            zero = {"traversal_steps": jnp.asarray(0), "mt_pairs":
+                    jnp.asarray(0), "mt_block_visits": jnp.asarray(0)}
+            c2 = counts2 or zero
+            stats["traversal_steps"] = (counts1["traversal_steps"]
+                                        + c2["traversal_steps"])
+            stats["intersections"] = counts1["mt_pairs"] + c2["mt_pairs"]
+            stats["mt_block_visits"] = (counts1["mt_block_visits"]
+                                        + c2["mt_block_visits"])
         else:
             # Brute force visits no structure: steps 0, R x T pair tests
             # per wavefront (shadow wavefront included when enabled).
-            s1 = s2 = jnp.asarray(0)
-            i1 = jnp.asarray(R * T)
-            i2 = jnp.asarray(R * T if config.shadows else 0)
-        stats["traversal_steps"] = s1 + s2
-        stats["intersections"] = i1 + i2
+            stats["traversal_steps"] = jnp.asarray(0)
+            stats["intersections"] = jnp.asarray(
+                R * T * (2 if config.shadows else 1))
     return color, stats
 
 

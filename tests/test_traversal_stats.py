@@ -26,15 +26,44 @@ def test_megakernel_counters(bunny):
                       config=_cfg(backend="megakernel"))
     steps = int(stats["traversal_steps"])
     inters = int(stats["intersections"])
+    visits = int(stats["mt_block_visits"])
     assert steps > 0
-    # Each kernel loop iteration evaluates one (tile, cluster) MT block.
-    assert inters == steps * mk.TILE * cl.CLUSTER_SIZE
+    # Counters are MEASURED in the kernel: per-ray slab gating means only
+    # a subset of walked clusters pay an MT block, and each executed block
+    # evaluates TILE x CLUSTER_SIZE pairs.
+    assert 0 < visits <= steps
+    assert inters == visits * mk.TILE * cl.CLUSTER_SIZE
     # Culling must actually bite: far fewer visits than the dense cross
     # product of (primary + shadow tiles) x clusters.
     T = scene.faces.shape[0]
     n_clusters = -(-T // cl.CLUSTER_SIZE)
     n_tiles = -(-64 * 64 // mk.TILE)
-    assert steps < 2 * n_tiles * n_clusters
+    assert steps < 2 * 2 * n_tiles * n_clusters
+
+
+def test_early_exit_beats_schedule(bunny):
+    """Measured kernel steps must undercut the scheduled walk bound: the
+    prune (closest hit / root exit vs next entry) has to fire on a real
+    scene — the reference's tmax-shrink pruning made observable
+    (single_ray_traverser.hpp:59,95-113)."""
+    import jax.numpy as jnp
+
+    from ceres_tpu.models.camera import camera_rays
+    from ceres_tpu.models.mesh import triangle_soup
+    from ceres_tpu.utils import tiling
+
+    scene = scenes.bunny_scene()
+    soup = triangle_soup(scene.vertices, scene.faces, with_normals=False)
+    cs = cl.build_clusters_treelet(soup)
+    dirs = tiling.swizzle(camera_rays(scene.camera, 64, 64))
+    _, counts = mk.closest_hit_common_origin(soup, scene.camera.eye, dirs,
+                                             clusters=cs, with_counts=True)
+    lists, entry, sched = mk._tile_cluster_lists(
+        cs.lo - scene.camera.eye, cs.hi - scene.camera.eye,
+        mk._tile_rays(dirs, mk.TILE))
+    scheduled = int(jnp.sum(sched))
+    assert int(counts["traversal_steps"]) <= scheduled
+    assert int(counts["mt_block_visits"]) <= int(counts["traversal_steps"])
 
 
 def test_bruteforce_counters(bunny):
