@@ -1,34 +1,39 @@
-"""Pallas ray-traversal megakernel: cluster-culled Möller-Trumbore.
+"""Pallas ray-traversal megakernel: work-list-scheduled Möller-Trumbore.
 
 TPU replacement for the reference's per-ray BVH traversal hot loop
 (lib/bvh/single_ray_traverser.hpp:67-126 + triangle.hpp:95-115), inverted
-for a lockstep vector machine and split into two phases:
+for a lockstep vector machine and split into three phases:
 
   1. **Interval culling prepass (pure JAX).** Rays arrive in spatially
      coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Each
      tile is summarized by interval hulls of its ray directions (and
-     origins, for generic rays); every (tile, cluster) pair is then culled
+     origins, for generic rays); every (tile, cluster) pair is culled
      with one conservative interval-arithmetic slab test — O(tiles x
-     clusters) with NO ray dimension, so the prepass cost is independent
-     of the wavefront size (the old dense per-ray pass was 512x more
-     work and dominated large scenes). Survivors are compacted per tile
+     clusters) with NO ray dimension. Survivors are compacted per tile
      and sorted FRONT TO BACK by a lower bound of the tile entry distance
      (the tile analog of descend-nearer-first,
      single_ray_traverser.hpp:95-113).
-  2. **Intersection kernel (Pallas).** Per tile, a while-loop walks the
-     sorted list. Each step first runs an exact per-ray slab test against
-     the cluster's AABB (the FastNodeIntersector form with precomputed
-     inverse directions, node_intersectors.hpp:83-103) — a ~30-cycle VPU
-     op — and only if some UNRESOLVED ray overlaps does it pay the dense
-     Möller-Trumbore evaluation: all R x C x 4 numerators as ONE
-     (R, Kp) @ (Kp, 4C) matmul on the MXU (the bilinear factorization of
-     ceres_tpu.ops.intersect) with a branch-free sign-test epilogue
-     keeping per-ray closest (t, packed id). The loop EARLY-EXITS once
-     every ray is resolved: a ray is done when its closest hit — or, for
-     rays that miss everything, its exit from the scene's root box —
-     precedes the next cluster's entry bound (the traverser's tmax-shrink
-     pruning, single_ray_traverser.hpp:59, without the background-pixel
-     worst case).
+  2. **Work-list scheduling (pure JAX).** Surviving (tile, cluster) pairs
+     are compacted into a flat, tile-major work list of at most M_CAP
+     entries per round. Pairs whose entry bound exceeds the tile's prune
+     distance — max over rays of min(closest hit so far, scene-root exit)
+     — are dropped: the traverser's tmax-shrink pruning
+     (single_ray_traverser.hpp:59) without the background-pixel worst
+     case (a miss ray is done at its root-box exit). If one round's
+     budget doesn't cover the live set, further rounds re-cull against
+     the improved prune (a `lax.while_loop`; real scenes take 1-2).
+  3. **Intersection kernel (Pallas, scalar-prefetch work list).** ONE
+     grid step per (tile, cluster) pair: the block index maps read the
+     prefetched tile/cluster ids, so the pipeline streams each cluster's
+     MT weight slab HBM -> VMEM double-buffered with no scalar stalls and
+     no whole-scene VMEM residency (scene size is unbounded). Each step
+     evaluates all R x C x 4 MT numerators — (R, K) @ (K, 4C) as K
+     broadcast-FMA lane passes on the VPU (exact f32; K is 4 or 10, far
+     too thin to feed the MXU) — with a branch-free sign-test epilogue
+     keeping per-ray closest (t, packed id). Steps whose entry bound
+     passed the tile's prune (maintained in SMEM as hits land) skip the
+     math. Tile-major ordering means each tile's output block stays in
+     VMEM across its steps and is written back exactly once.
 
 Gradients flow with NO custom VJP: the kernel only *finds* winner ids
 (integers, detached by construction — the standard differentiable-
@@ -42,6 +47,7 @@ the structure is only used for the detached search.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +60,14 @@ from ceres_tpu.ops.intersect import Hit
 
 TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
 
-
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
+_VALID_CUT = 1.0e37  # entries >= this are padding, never real candidates
 _INV_CLAMP = 1e30
 _PREPASS_TILES = 256  # tiles per chunk in the interval culling prepass
-_WEIGHTS_CHUNK = 512  # clusters per kernel launch (8 MB of VMEM weights)
+_M_CAP_FACTOR = 2     # work-list entries per round = factor * n_tiles
 _ULP_PAD = 4e-6       # conservative slab widening (RobustNodeIntersector,
                       # node_intersectors.hpp:54-79: never cull a true hit)
+USE_MXU = False       # MT numerators: VPU broadcast-FMA (exact f32) vs MXU
 
 
 def _interpret() -> bool:
@@ -87,8 +94,8 @@ def _interval_entry(lo, hi, dlo, dhi, olo=None, ohi=None):
     member ray can overlap. Interval arithmetic over the corner products
     of (box - o) * (1/d); axes whose direction interval straddles zero are
     unrestrictive (their 1/d is not an interval). Conservative by
-    construction — the kernel's per-ray test is exact, so looseness only
-    costs scheduled (gated, cheap) visits.
+    construction — pruning in the kernel is against per-ray exact hit
+    distances, so looseness only costs scheduled (skippable) visits.
     """
     inv_a = _safe_inverse(dlo)[:, None, :]           # (n_t, 1, 3)
     inv_b = _safe_inverse(dhi)[:, None, :]
@@ -167,7 +174,7 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
         per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p, alive_p))
 
     tn = per_tile.reshape(-1, lo.shape[0])[:n_tiles]       # (n_tiles, N_c)
-    counts = jnp.sum(tn < _BIG, axis=1).astype(jnp.int32)  # (n_tiles,)
+    counts = jnp.sum(tn < _VALID_CUT, axis=1).astype(jnp.int32)
     order = jnp.argsort(tn, axis=1, stable=True)
     lists = order.astype(jnp.int32)
     entry = jnp.take_along_axis(tn, order, axis=1)
@@ -199,42 +206,79 @@ def _ray_tcap(root_lo, root_hi, origins, dirs):
     return jnp.where(hit, tf * (1.0 + _ULP_PAD), -1.0)
 
 
-def _inv_dirs8(dirs_tiled, origins_tiled=None):
-    """Per-tile (8, R) slab-test operands for the kernel.
+# ---------------------------------------------------------------------------
+# Phase 2: work-list scheduling (pure JAX)
+# ---------------------------------------------------------------------------
 
-    Rows 0-2 / 3-5 both hold the inverse directions (so one broadcastable
-    multiply against the cluster's stacked [lo, hi] scalars yields all six
-    slab products at once); rows 6-7 are zero. When ``origins_tiled`` is
-    given, also returns the matching scaled-origin rows o * (1/d) — the
-    FastNodeIntersector precomputation (node_intersectors.hpp:89-94).
+def _m_cap(n_tiles: int, n_c: int) -> int:
+    """Static per-round work-list budget: ~_M_CAP_FACTOR visits per tile
+    amortizes the compaction over real work; rounds absorb overflow."""
+    return min(max(512, _M_CAP_FACTOR * n_tiles), n_tiles * n_c)
+
+
+def _round_schedule(lists, entry, counts, cursor, prune, m_cap: int):
+    """Compact the live (tile, cluster) pairs into one round's work list.
+
+    A pair (i, k) is live iff cursor_i <= k < counts_i and
+    entry[i, k] <= prune_i; entries are sorted ascending per tile, so the
+    live span is contiguous from the cursor. The first m_cap live pairs in
+    tile-major order are scheduled (tile-major = each tile's kernel output
+    block is visited by one contiguous run of grid steps). Tiles whose
+    live span was exhausted (not quota-truncated) are DONE — the prune
+    only ever decreases, so their remaining entries can never come back.
+
+    Returns (tile_of (M,), cid (M,), entry_m (M,), take (n_tiles,),
+    new_cursor (n_tiles,), scheduled_live_total).
     """
-    inv = _safe_inverse(jnp.swapaxes(dirs_tiled, 1, 2))   # (n_t, 3, R)
-    zeros = jnp.zeros(inv.shape[:1] + (2,) + inv.shape[2:], inv.dtype)
-    inv8 = jnp.concatenate([inv, inv, zeros], axis=1)     # (n_t, 8, R)
-    if origins_tiled is None:
-        return inv8
-    so = jnp.swapaxes(origins_tiled, 1, 2) * inv          # (n_t, 3, R)
-    so8 = jnp.concatenate([so, so, zeros], axis=1)
-    return inv8, so8
+    n_tiles, n_c = entry.shape
+    s = jnp.sum(entry <= prune[:, None], axis=1).astype(jnp.int32)
+    n_live = jnp.clip(s - cursor, 0, counts - cursor)
+    off = jnp.cumsum(n_live) - n_live                       # exclusive
+    take = jnp.clip(m_cap - off, 0, n_live)
+    cum_take = jnp.cumsum(take)
+    total_take = cum_take[-1]
+
+    m = jnp.arange(m_cap, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(cum_take, m, side="right").astype(jnp.int32)
+    tile_of = jnp.minimum(tile_of, n_tiles - 1)
+    start = cum_take[tile_of] - take[tile_of]
+    slot = jnp.clip(cursor[tile_of] + (m - start), 0, n_c - 1)
+    valid = m < total_take
+    entry_m = jnp.where(valid, entry[tile_of, slot], _BIG)
+    cid = jnp.where(valid, lists[tile_of, slot], 0)
+    new_cursor = jnp.where(take == n_live, counts, cursor + take)
+    return tile_of, cid, entry_m, take, new_cursor, jnp.sum(n_live)
+
+
+def _pending(entry, counts, cursor, prune):
+    """True if any (tile, cluster) pair is still live for another round."""
+    s = jnp.sum(entry <= prune[:, None], axis=1).astype(jnp.int32)
+    n_live = jnp.clip(s - cursor, 0, counts - cursor)
+    return jnp.sum(n_live) > 0
 
 
 # ---------------------------------------------------------------------------
-# Phase 2: Pallas kernels
+# Phase 3: Pallas work-list kernels
 # ---------------------------------------------------------------------------
 
-def _mt_channels(wj, feats, c_size):
-    """Evaluate the 4 MT numerator channels for one cluster over a ray tile.
+def _numerators(f, wj, n_feat: int):
+    """All R x C x 4 MT numerators of one (ray tile, cluster) pair.
 
-    wj: (Kp, 4 * C) weight slab (channels side by side along lanes);
-    feats: (R, Kp) per-ray feature vectors, already padded with the
-    implicit 1 and zeros. ONE ``jnp.dot`` -> the MXU evaluates all
-    R x C x 4 numerators as a (R, Kp) @ (Kp, 4C) matmul — the point of the
-    bilinear MT factorization (ceres_tpu.ops.intersect docstring).
+    f: (R, Kp) per-ray features ([d, 1] or [d, d x o, o, 1], zero-padded);
+    wj: (Kp, 4C) the cluster's weight slab (channels side by side along
+    lanes — the bilinear MT factorization, ceres_tpu.ops.intersect). The
+    contraction depth n_feat is 4 or 10 — far below the MXU's 128-deep
+    systolic passes — so the default path is n_feat broadcast-FMA lane
+    passes on the VPU, exact f32 and ~16x less padded work than an MXU
+    HIGHEST-precision pass.
     """
-    out = jnp.dot(feats, wj, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)   # (R, 4C)
-    return (out[:, :c_size], out[:, c_size:2 * c_size],
-            out[:, 2 * c_size:3 * c_size], out[:, 3 * c_size:])
+    if USE_MXU:
+        return jnp.dot(f, wj, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    acc = f[:, 0:1] * wj[0:1, :]
+    for k in range(1, n_feat):
+        acc = acc + f[:, k : k + 1] * wj[k : k + 1, :]
+    return acc
 
 
 def _accept_min(nu, nv, nd, nt):
@@ -251,140 +295,268 @@ def _accept_min(nu, nv, nd, nt):
     return (m >= 0) & (nd != 0)
 
 
-def _slab_overlap(box_row, inv8, soff8=None):
-    """Exact per-ray slab test of one cluster box against the tile's rays.
+def _make_closest_kernel(c_size: int, n_feat: int):
+    def kernel(tid_ref, cid_ref, entry_ref, f_ref, tcap_ref, t_in_ref,
+               w_ref, t_ref, id_ref, steps_ref, visits_ref, prune_ref):
+        m = pl.program_id(0)
+        first = (m == 0) | (tid_ref[m] != tid_ref[jnp.maximum(m - 1, 0)])
+        tcap = tcap_ref[0, 0, :]
 
-    box_row: (8, 1) stacked [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, 0, 0];
-    inv8/soff8: (8, R) per-ray operands from _inv_dirs8. Returns
-    ((R,) bool overlap, (R,) f32 entry distance tn). The
-    FastNodeIntersector slab test (node_intersectors.hpp:35-47,83-103)
-    with robust_min/max NaN ordering via jnp.minimum/maximum and the
-    conservative ulp pad.
-    """
-    prods = box_row * inv8 if soff8 is None else box_row * inv8 - soff8
-    near = jnp.minimum(prods[0:3], prods[3:6])    # (3, R)
-    far = jnp.maximum(prods[0:3], prods[3:6])
-    tn = jnp.maximum(jnp.max(near, axis=0), 0.0)  # (R,)
-    tf = jnp.min(far, axis=0)
-    return tn * (1.0 - _ULP_PAD) <= tf * (1.0 + _ULP_PAD), tn
+        @pl.when(m == 0)
+        def _():
+            steps_ref[0, 0] = 0
+            visits_ref[0, 0] = 0
 
+        @pl.when(first)
+        def _():
+            t0 = t_in_ref[0, 0, :]
+            t_ref[0, 0, :] = t0
+            id_ref[0, 0, :] = jnp.full_like(id_ref[0, 0, :], -1)
+            prune_ref[0] = jnp.max(jnp.minimum(t0, tcap))
 
-def _closest_kernel(cnt_ref, list_ref, entry_ref, box_ref, f_ref, inv_ref,
-                    tcap_ref, w_ref, t_ref, id_ref, steps_ref, visits_ref):
-    """One ray-tile grid step: walk the culled clusters FRONT TO BACK,
-    gating each Möller-Trumbore block on an exact per-ray slab test, and
-    stop as soon as every ray is resolved.
-
-    A ray is resolved when min(its closest hit, its root-box exit cap)
-    precedes the next cluster's entry bound — the reference traverser's
-    closest-hit pruning (single_ray_traverser.hpp:59,95-113) vectorized
-    per tile, with the scene-exit cap handling rays that miss everything.
-    This launch's weight slabs are VMEM-resident (16 KB per cluster, at
-    most _WEIGHTS_CHUNK of them — bigger scenes run as a chunk sequence
-    merged by t-min, see _cluster_chunks).
-    """
-    count = cnt_ref[0, 0, 0]
-    f = f_ref[0]                      # (R, Kp)
-    inv8 = inv_ref[0]                 # (8, R)
-    tcap = tcap_ref[0, 0, :]          # (R,)
-    R = f.shape[0]
-    C = w_ref.shape[2] // 4
-    n_c = list_ref.shape[2]
-
-    t_ref[0, 0, :] = jnp.full((R,), _BIG, jnp.float32)
-    id_ref[0, 0, :] = jnp.full((R,), -1, jnp.int32)
-
-    def cond(state):
-        k, _ = state
-        more = k < count
-        nxt = entry_ref[0, 0, jnp.minimum(k, n_c - 1)]
-        prune = jnp.max(jnp.minimum(t_ref[0, 0, :], tcap))
-        return more & (prune >= nxt)
-
-    def body(state):
-        k, visits = state
-        cid = list_ref[0, 0, k]
-        box_row = box_ref[cid]        # (8, 1)
-        overlap, tn = _slab_overlap(box_row, inv8)
-        t_c = t_ref[0, 0, :]
-        live = overlap & (tn <= jnp.minimum(t_c, tcap))
-        go = jnp.any(live)
+        e = entry_ref[0, 0]
+        valid = e < _VALID_CUT
+        go = valid & (e <= prune_ref[0])
 
         @pl.when(go)
         def _():
-            wj = w_ref[cid]               # (Kp, 4C)
-            nu, nv, nd, nt = _mt_channels(wj, f, C)
-            acc = _accept_min(nu, nv, nd, nt)   # implies t >= 0
+            out = _numerators(f_ref[0], w_ref[0], n_feat)   # (R, 4C)
+            nu = out[:, :c_size]
+            nv = out[:, c_size : 2 * c_size]
+            nd = out[:, 2 * c_size : 3 * c_size]
+            nt = out[:, 3 * c_size :]
+            acc = _accept_min(nu, nv, nd, nt)               # implies t >= 0
             inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
             tpair = jnp.where(acc, nt * inv, _BIG)
-            t_min = jnp.min(tpair, axis=1)
+            t_min = jnp.min(tpair, axis=1)                  # (R,)
+            t_c = t_ref[0, 0, :]
             better = t_min < t_c
             ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
-            idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, C), axis=1)
-            t_ref[0, 0, :] = jnp.where(better, t_min, t_c)
-            id_ref[0, 0, :] = jnp.where(better, cid * C + idx,
-                                        id_ref[0, 0, :])
+            idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, c_size),
+                          axis=1)
+            t_new = jnp.where(better, t_min, t_c)
+            t_ref[0, 0, :] = t_new
+            id_ref[0, 0, :] = jnp.where(
+                better, cid_ref[m] * c_size + idx, id_ref[0, 0, :])
+            prune_ref[0] = jnp.max(jnp.minimum(t_new, tcap))
 
-        return k + 1, visits + go.astype(jnp.int32)
+        steps_ref[0, 0] += valid.astype(jnp.int32)
+        visits_ref[0, 0] += go.astype(jnp.int32)
 
-    steps, visits = jax.lax.while_loop(cond, body, (0, 0))
-    steps_ref[0, 0, 0] = steps
-    visits_ref[0, 0, 0] = visits
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_pallas(feats_tiled, inv_tiled, tcap_tiled, boxes, weights,
-                    lists, entry, counts, interpret):
-    n_tiles, R, Kp = feats_tiled.shape
-    n_c = weights.shape[0]
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
-    ]
-    ray_spec = pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+def _make_any_kernel(c_size: int, n_feat: int):
+    def kernel(tid_ref, cid_ref, entry_ref, f_ref, tcap_ref, occ_in_ref,
+               w_ref, occ_ref, steps_ref, visits_ref, prune_ref):
+        m = pl.program_id(0)
+        first = (m == 0) | (tid_ref[m] != tid_ref[jnp.maximum(m - 1, 0)])
+        tcap = tcap_ref[0, 0, :]
+
+        @pl.when(m == 0)
+        def _():
+            steps_ref[0, 0] = 0
+            visits_ref[0, 0] = 0
+
+        @pl.when(first)
+        def _():
+            o0 = occ_in_ref[0, 0, :]
+            occ_ref[0, 0, :] = o0
+            prune_ref[0] = jnp.max(jnp.where(o0 == 1, -1.0, tcap))
+
+        e = entry_ref[0, 0]
+        valid = e < _VALID_CUT
+        go = valid & (e <= prune_ref[0])
+
+        @pl.when(go)
+        def _():
+            out = _numerators(f_ref[0], w_ref[0], n_feat)
+            nu = out[:, :c_size]
+            nv = out[:, c_size : 2 * c_size]
+            nd = out[:, 2 * c_size : 3 * c_size]
+            nt = out[:, 3 * c_size :]
+            acc = _accept_min(nu, nv, nd, nt)
+            hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
+            occ_new = occ_ref[0, 0, :] | hit_any
+            occ_ref[0, 0, :] = occ_new
+            prune_ref[0] = jnp.max(jnp.where(occ_new == 1, -1.0, tcap))
+
+        steps_ref[0, 0] += valid.astype(jnp.int32)
+        visits_ref[0, 0] += go.astype(jnp.int32)
+
+    return kernel
+
+
+def _wl_grid_spec(m_cap, Kp, C4, n_state_out):
+    """The shared work-list grid: one step per (tile, cluster) pair.
+
+    Scalar-prefetched tile/cluster ids drive every block index map, so the
+    pipeline streams per-step blocks (HBM -> VMEM, double-buffered) with
+    no scalar stalls; tile-major ordering keeps each tile's blocks VMEM-
+    resident across its contiguous run of steps.
+    """
+    vmem_out = pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [ray_spec, ray_spec,
-                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                              memory_space=pltpu.SMEM),
-                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                              memory_space=pltpu.SMEM)]
-    return pl.pallas_call(
-        _closest_kernel,
-        grid=(n_tiles,),
+    smem_out = pl.BlockSpec((1, 1), lambda m, tid, cid: (0, 0),
+                            memory_space=pltpu.SMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # tile ids, cluster ids
+        grid=(m_cap,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(boxes.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda m, tid, cid: (m, 0),
+                         memory_space=pltpu.SMEM),            # entry bound
+            pl.BlockSpec((1, TILE, Kp), lambda m, tid, cid: (tid[m], 0, 0),
+                         memory_space=pltpu.VMEM),            # ray features
+            pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
+                         memory_space=pltpu.VMEM),            # root-exit cap
+            pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
+                         memory_space=pltpu.VMEM),            # carried state
+            pl.BlockSpec((1, Kp, C4), lambda m, tid, cid: (cid[m], 0, 0),
+                         memory_space=pltpu.VMEM),            # weight slab
         ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(counts, lists, entry, boxes, feats_tiled, inv_tiled, tcap_tiled,
-      weights)
+        out_specs=[vmem_out] * n_state_out + [smem_out, smem_out],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+    )
 
+
+@functools.partial(jax.jit, static_argnames=("n_feat", "interpret"))
+def _closest_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, t_in,
+                          w, n_feat, interpret):
+    n_tiles, R, Kp = feats.shape
+    m_cap = tile_ids.shape[0]
+    C4 = w.shape[2]
+    return pl.pallas_call(
+        _make_closest_kernel(C4 // 4, n_feat),
+        grid_spec=_wl_grid_spec(m_cap, Kp, C4, n_state_out=2),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_ids, cluster_ids, entry_m[:, None], feats, tcap, t_in, w)
+
+
+@functools.partial(jax.jit, static_argnames=("n_feat", "interpret"))
+def _any_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, occ_in,
+                      w, n_feat, interpret):
+    n_tiles, R, Kp = feats.shape
+    m_cap = tile_ids.shape[0]
+    C4 = w.shape[2]
+    return pl.pallas_call(
+        _make_any_kernel(C4 // 4, n_feat),
+        grid_spec=_wl_grid_spec(m_cap, Kp, C4, n_state_out=1),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_ids, cluster_ids, entry_m[:, None], feats, tcap, occ_in, w)
+
+
+# ---------------------------------------------------------------------------
+# Drivers: round loops
+# ---------------------------------------------------------------------------
+
+def _max_rounds(n_tiles: int, n_c: int, m_cap: int) -> int:
+    return int(math.ceil((n_tiles * n_c) / m_cap)) + 1
+
+
+def _closest_rounds(w, feats_tiled, tcap_tiled, lists, entry, counts,
+                    n_feat: int):
+    """Run scheduling rounds until no (tile, cluster) pair is live.
+
+    Returns (t (n_tiles, 1, R), packed ids (n_tiles, 1, R), steps, visits).
+    """
+    n_tiles, n_c = entry.shape
+    R = feats_tiled.shape[1]
+    m_cap = _m_cap(n_tiles, n_c)
+    interp = _interpret()
+
+    def tile_prune(t):
+        return jnp.max(jnp.minimum(t[:, 0, :], tcap_tiled[:, 0, :]), axis=1)
+
+    def body(state):
+        cursor, t, pid, steps, visits, _, rnd = state
+        prune = tile_prune(t)
+        tid, cid, entry_m, take, cursor, _ = _round_schedule(
+            lists, entry, counts, cursor, prune, m_cap)
+        t_r, id_r, s, v = _closest_round_pallas(
+            tid, cid, entry_m, feats_tiled, tcap_tiled, t, w, n_feat, interp)
+        touched = (take > 0)[:, None, None]
+        better = touched & (t_r < t)
+        t = jnp.where(better, t_r, t)
+        pid = jnp.where(better, id_r, pid)
+        pend = _pending(entry, counts, cursor, tile_prune(t))
+        return (cursor, t, pid, steps + s[0, 0], visits + v[0, 0], pend,
+                rnd + 1)
+
+    def cond(state):
+        _, _, _, _, _, pend, rnd = state
+        return pend & (rnd < _max_rounds(n_tiles, n_c, m_cap))
+
+    state = (jnp.zeros((n_tiles,), jnp.int32),
+             jnp.full((n_tiles, 1, R), _BIG, jnp.float32),
+             jnp.full((n_tiles, 1, R), -1, jnp.int32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    state = body(state)                       # round 0 always runs
+    state = jax.lax.while_loop(cond, body, state)
+    _, t, pid, steps, visits, _, _ = state
+    return t, pid, steps, visits
+
+
+def _any_rounds(w, feats_tiled, tcap_tiled, occ0, lists, entry, counts,
+                n_feat: int):
+    """Occlusion rounds; occ0 (n_tiles, 1, R) int32 (1 = resolved/skip)."""
+    n_tiles, n_c = entry.shape
+    m_cap = _m_cap(n_tiles, n_c)
+    interp = _interpret()
+
+    def tile_prune(occ):
+        return jnp.max(jnp.where(occ[:, 0, :] == 1, -1.0,
+                                 tcap_tiled[:, 0, :]), axis=1)
+
+    def body(state):
+        cursor, occ, steps, visits, _, rnd = state
+        prune = tile_prune(occ)
+        tid, cid, entry_m, take, cursor, _ = _round_schedule(
+            lists, entry, counts, cursor, prune, m_cap)
+        occ_r, s, v = _any_round_pallas(
+            tid, cid, entry_m, feats_tiled, tcap_tiled, occ, w, n_feat,
+            interp)
+        touched = (take > 0)[:, None, None]
+        occ = jnp.where(touched, occ_r, occ)
+        pend = _pending(entry, counts, cursor, tile_prune(occ))
+        return (cursor, occ, steps + s[0, 0], visits + v[0, 0], pend,
+                rnd + 1)
+
+    def cond(state):
+        _, _, _, _, pend, rnd = state
+        return pend & (rnd < _max_rounds(n_tiles, n_c, m_cap))
+
+    state = (jnp.zeros((n_tiles,), jnp.int32), occ0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    state = body(state)
+    state = jax.lax.while_loop(cond, body, state)
+    _, occ, steps, visits, _, _ = state
+    return occ, steps, visits
+
+
+# ---------------------------------------------------------------------------
+# Packing helpers
+# ---------------------------------------------------------------------------
 
 def _pack_weights(w):
-    """(N_c, 4, C, K) -> (N_c, Kp, 4 * C): the matmul layout.
+    """(N_c, 4, C, K) -> (N_c, Kp, 4 * C): the lane-slab layout.
 
-    Channels go side by side along the lane axis so the kernel's single
-    (R, Kp) @ (Kp, 4C) dot yields [u_num | v_num | det | t_num] slabs; K is
-    zero-padded to a sublane multiple (the padded feature entries are zero
-    too, so the dot is unchanged).
+    Channels go side by side along the lane axis so one step's numerators
+    come out as [u_num | v_num | det | t_num] slabs; K is zero-padded to a
+    sublane multiple (the padded feature entries are zero too, so the
+    contraction is unchanged).
     """
     n_c, ch, C, K = w.shape
     w = jnp.transpose(w, (0, 3, 1, 2)).reshape(n_c, K, ch * C)
@@ -392,22 +564,6 @@ def _pack_weights(w):
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
     return w
-
-
-def _pack_boxes(lo, hi):
-    """(N_c, 3) x 2 -> (N_c, 8, 1): the kernel's VMEM box table.
-
-    Stacked [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, 0, 0] per cluster so one
-    dynamic row read yields the (8, 1) _slab_overlap multiplier. Empty
-    padding clusters (inf/-inf) are rewritten to a point box far outside
-    the scene so their slab products stay finite (they are never listed
-    anyway).
-    """
-    empty = jnp.any(hi < lo, axis=-1, keepdims=True)
-    lo = jnp.where(empty, 2.0 * _BIG / _INV_CLAMP, lo)
-    hi = jnp.where(empty, 2.0 * _BIG / _INV_CLAMP, hi)
-    zeros = jnp.zeros_like(lo[:, :1])
-    return jnp.concatenate([lo, hi, zeros, zeros], axis=-1)[:, :, None]
 
 
 def _pad_feats(feats, kp):
@@ -429,16 +585,6 @@ def _tile_rays(x, tile):
     return x.reshape((-1, tile) + x.shape[1:])
 
 
-def _cluster_chunks(n_c: int):
-    """Static chunking of the cluster axis: the kernel holds one chunk's
-    weight slabs in VMEM (16 KB/cluster), so bounding the chunk at
-    _WEIGHTS_CHUNK clusters (8 MB) lifts the whole-scene-in-VMEM cap —
-    scenes of any size run as a short static sequence of kernel launches
-    whose hits merge by t-min."""
-    return [(s, min(s + _WEIGHTS_CHUNK, n_c))
-            for s in range(0, n_c, _WEIGHTS_CHUNK)]
-
-
 def _scene_root(cs):
     """Root AABB over the non-empty cluster boxes."""
     nonempty = jnp.all(cs.hi >= cs.lo, axis=-1, keepdims=True)
@@ -446,6 +592,10 @@ def _scene_root(cs):
     root_hi = jnp.where(nonempty, cs.hi, -_BIG).max(axis=0)
     return root_lo, root_hi
 
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
 def _closest_search(cs, eye, dirs):
     """Detached winner search: packed slot ids + counters (no gradients)."""
@@ -457,29 +607,11 @@ def _closest_search(cs, eye, dirs):
     root_lo, root_hi = _scene_root(cs)
     dirs_tiled = _tile_rays(dirs, TILE)
     feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), TILE)
-    inv_tiled = _inv_dirs8(dirs_tiled)
     tcap_tiled = _tile_rays(
         _ray_tcap(root_lo - eye, root_hi - eye, None, dirs), TILE)[:, None, :]
-
-    t = pidx = None
-    steps = visits = 0
-    for start, stop in _cluster_chunks(cs.num_clusters):
-        lists, entry, counts = _tile_cluster_lists(
-            lo[start:stop], hi[start:stop], dirs_tiled)
-        boxes = _pack_boxes(lo[start:stop], hi[start:stop])
-        tc, pc, sc, vc = _closest_pallas(
-            feats_tiled, inv_tiled, tcap_tiled, boxes, w[start:stop],
-            lists[:, None, :], entry[:, None, :], counts[:, None, None],
-            _interpret())
-        pc = jnp.where(pc >= 0, pc + start * cs.cluster_size, pc)
-        steps = steps + jnp.sum(sc)
-        visits = visits + jnp.sum(vc)
-        if t is None:
-            t, pidx = tc, pc
-        else:
-            better = tc < t
-            t = jnp.where(better, tc, t)
-            pidx = jnp.where(better, pc, pidx)
+    lists, entry, counts = _tile_cluster_lists(lo, hi, dirs_tiled)
+    _, pidx, steps, visits = _closest_rounds(
+        w, feats_tiled, tcap_tiled, lists, entry, counts, n_feat=4)
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
                                   "mt_block_visits": visits}
 
@@ -516,8 +648,8 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     from ``soup`` by original triangle id.
 
     ``with_counts=True`` additionally returns the traversal counters
-    (actual kernel loop steps and gated MT block visits) — the
-    SingleRayTraverser::Statistics capability
+    (actual kernel work-list steps and prune-gated MT block executions) —
+    the SingleRayTraverser::Statistics capability
     (single_ray_traverser.hpp:131-163), measured, not scheduled.
     """
     cs = clusters
@@ -540,105 +672,6 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
                               * TILE * cs.cluster_size)
         return hit, counts
     return hit
-
-
-def _any_kernel(cnt_ref, list_ref, entry_ref, box_ref, f_ref, inv_ref,
-                soff_ref, tcap_ref, skip_ref, w_ref, occ_ref, steps_ref,
-                visits_ref):
-    """Occlusion tile: early exit once every ray is occluded, skipped, or
-    past its root-box exit — the AnyPrimitiveIntersector's first-hit
-    termination (single_ray_traverser.hpp:57-58,92-93) vectorized per
-    tile. Each step gates the MT block on the exact per-ray slab test of
-    still-unresolved rays.
-    """
-    count = cnt_ref[0, 0, 0]
-    f = f_ref[0]                        # (R, Kp): [d, d x o, o, 1, pad]
-    inv8 = inv_ref[0]
-    soff8 = soff_ref[0]
-    tcap = tcap_ref[0, 0, :]
-    C = w_ref.shape[2] // 4
-    n_c = list_ref.shape[2]
-    occ_ref[0, 0, :] = skip_ref[0, 0, :]
-
-    def cond(state):
-        k, _ = state
-        more = k < count
-        nxt = entry_ref[0, 0, jnp.minimum(k, n_c - 1)]
-        prune = jnp.max(jnp.where(occ_ref[0, 0, :] == 1, -1.0, tcap))
-        return more & (prune >= nxt)
-
-    def body(state):
-        k, visits = state
-        cid = list_ref[0, 0, k]
-        box_row = box_ref[cid]        # (8, 1)
-        overlap, tn = _slab_overlap(box_row, inv8, soff8)
-        unresolved = occ_ref[0, 0, :] == 0
-        live = overlap & unresolved & (tn <= tcap)
-        go = jnp.any(live)
-
-        @pl.when(go)
-        def _():
-            wj = w_ref[cid]                 # (Kp, 4C)
-            nu, nv, nd, nt = _mt_channels(wj, f, C)
-            acc = _accept_min(nu, nv, nd, nt)
-            hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
-            occ_ref[0, 0, :] = occ_ref[0, 0, :] | hit_any
-
-        return k + 1, visits + go.astype(jnp.int32)
-
-    steps, visits = jax.lax.while_loop(cond, body, (0, 0))
-    steps_ref[0, 0, 0] = steps
-    visits_ref[0, 0, 0] = visits
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _any_pallas(feats_tiled, inv_tiled, soff_tiled, tcap_tiled, skip_tiled,
-                boxes, weights, lists, entry, counts, interpret):
-    n_tiles, R, Kp = feats_tiled.shape
-    n_c = weights.shape[0]
-    out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.int32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
-    ]
-    return pl.pallas_call(
-        _any_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(boxes.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(weights.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(counts, lists, entry, boxes, feats_tiled, inv_tiled, soff_tiled,
-      tcap_tiled, skip_tiled, weights)
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
@@ -674,26 +707,16 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     feats_tiled = _tile_rays(_pad_feats(
         jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1),  # (R, 9)
         w.shape[1]), TILE)
-    inv_tiled, soff_tiled = _inv_dirs8(dirs_tiled, orig_tiled)
     tcap_tiled = _tile_rays(
         _ray_tcap(root_lo - shift, root_hi - shift, o, dirs), TILE)[:, None]
-
-    occluded = skip
-    steps = visits = 0
-    for start, stop in _cluster_chunks(cs.num_clusters):
-        lists, entry, counts = _tile_cluster_lists(
-            lo[start:stop], hi[start:stop], dirs_tiled, orig_tiled, alive)
-        boxes = _pack_boxes(lo[start:stop], hi[start:stop])
-        occ, sc, vc = _any_pallas(
-            feats_tiled, inv_tiled, soff_tiled, tcap_tiled,
-            _tile_rays(occluded.astype(jnp.int32), TILE)[:, None, :],
-            boxes, w[start:stop], lists[:, None, :], entry[:, None, :],
-            counts[:, None, None], _interpret(),
-        )
-        steps = steps + jnp.sum(sc)
-        visits = visits + jnp.sum(vc)
-        occluded = occluded | (occ.reshape(-1)[:R] == 1)
-    result = occluded & ~skip
+    occ0 = _tile_rays(skip.astype(jnp.int32), TILE)[:, None, :]
+    # Padding rays are not skipped but have zero dirs -> tcap = -1, so they
+    # never extend a tile's prune and never resolve to occluded.
+    lists, entry, counts = _tile_cluster_lists(lo, hi, dirs_tiled,
+                                               orig_tiled, alive)
+    occ, steps, visits = _any_rounds(
+        w, feats_tiled, tcap_tiled, occ0, lists, entry, counts, n_feat=10)
+    result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:
         cnts = {"traversal_steps": steps, "mt_block_visits": visits,
                 "mt_pairs": visits * TILE * cs.cluster_size}

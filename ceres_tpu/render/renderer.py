@@ -211,6 +211,9 @@ def render_pipeline(
     camera: Camera,
     sun_position: jax.Array,
     config: RenderConfig,
+    clusters=None,  # prebuilt ClusterSet for this mesh: skips the per-call
+                    # structure build (the reference builds its BVH once
+                    # before the frame loop, anim.cpp:62-66)
 ):
     """Full pipeline from an indexed mesh -> ((H, W, 3) image, stats)."""
     if faces.shape[0] == 0:
@@ -225,7 +228,7 @@ def render_pipeline(
 
         dirs = tiling.swizzle(dirs_hw)
         color, stats = render_wavefront(soup, camera, sun_position, dirs,
-                                        config)
+                                        config, clusters=clusters)
         image = tiling.unswizzle(color, config.height, config.width)
         # Padded rays are inert (zero dirs -> no hit) but subtract their
         # count from the traversal stats for reference-parity numbers.
@@ -233,7 +236,8 @@ def render_pipeline(
                                          - config.height * config.width)
         return image, stats
     dirs = dirs_hw.reshape(-1, 3)
-    color, stats = render_wavefront(soup, camera, sun_position, dirs, config)
+    color, stats = render_wavefront(soup, camera, sun_position, dirs, config,
+                                    clusters=clusters)
     return color.reshape(config.height, config.width, 3), stats
 
 
