@@ -26,7 +26,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DATA = "/root/reference/data"
+from ceres_tpu.render.scenes import data_dir
+
+DATA = data_dir()
 REPS = 10
 
 

@@ -48,7 +48,7 @@ def main() -> int:
     from ceres_tpu.models.camera import Camera
     from ceres_tpu.parallel.sharded import device_mesh, render_sharded
 
-    verts, faces = load_obj("/root/reference/data/bunny.obj")
+    verts, faces = load_obj(bunny_path())
     eye = np.asarray([0.0, 0.1, -0.3], np.float32)
     camera = Camera.make(eye=eye, dir=verts.mean(axis=0) - eye,
                          up=(0, 1, 0), fov=60.0)

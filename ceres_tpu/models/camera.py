@@ -77,6 +77,25 @@ def camera_rays_rows(
     return _normalize(dirs)
 
 
+def camera_ray_columns(camera: Camera, width: int, height: int):
+    """Normalized view directions as 3 separate (height, width) planes.
+
+    The structure-of-arrays form of :func:`camera_rays`: every op is a
+    dense (H, W) op, where the (H, W, 3) form puts the 3-vector on the
+    128-lane axis (42x VPU waste on the normalize). Same math, same
+    pixel-center convention (render.hpp:105-113).
+    """
+    d, iu, iv = camera_basis(camera, width, height)
+    i = jnp.arange(width, dtype=camera.eye.dtype)
+    j = jnp.arange(height, dtype=camera.eye.dtype)
+    u = (2.0 * (i + 0.5) / width - 1.0)[None, :]    # (1, W)
+    v = (2.0 * (j + 0.5) / height - 1.0)[:, None]   # (H, 1)
+    cols = tuple(u * iu[a] + v * iv[a] + d[a] for a in range(3))
+    inv = jax.lax.rsqrt(cols[0] * cols[0] + cols[1] * cols[1]
+                        + cols[2] * cols[2])
+    return tuple(c * inv for c in cols)
+
+
 def camera_rays(camera: Camera, width: int, height: int) -> jax.Array:
     """Normalized view directions for every pixel, shape (height, width, 3).
 

@@ -83,3 +83,64 @@ def flat_shading(normal: jax.Array) -> jax.Array:
     """|n| visualization used by the reference's flat path (render.hpp:123-125):
     RGB = abs(normalize(face_normal)). Shapes (..., 3) -> (..., 3)."""
     return jnp.abs(_normalize(normal))
+
+
+# ---------------------------------------------------------------------------
+# Column (structure-of-arrays) forms — the TPU fast path. Mathematically
+# identical to the (..., 3) forms above, but every op is a flat (R,) vector
+# op: reductions over a size-3 minor axis pad 3 -> 128 VPU lanes and waste
+# 42x (measured ~35 ms/frame at 1080p).
+# ---------------------------------------------------------------------------
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _normalize3(v, guard=None):
+    """Columns -> normalized columns; ``guard`` masks rows whose length may
+    be zero (padding/miss rows) to keep NaNs out of forward AND backward."""
+    sq = _dot3(v, v)
+    if guard is not None:
+        sq = jnp.where(guard, sq, 1.0)
+    inv = jax.lax.rsqrt(sq)
+    return (v[0] * inv, v[1] * inv, v[2] * inv)
+
+
+def _corner_shade_cols(sun, n, neg_view):
+    """corner_shade in column form: 3x (R,) -> 3x (R,) RGB."""
+    lamb = jnp.abs(_dot3(sun, n))
+    h = _normalize3((sun[0] + neg_view[0], sun[1] + neg_view[1],
+                     sun[2] + neg_view[2]))
+    nh = _dot3(n, h)
+    spec = SPECULAR_GAIN * nh ** SPECULAR_EXP
+    base = AMBIENT + DIFFUSE_GAIN * lamb
+    return tuple(jnp.clip(base * TINT[a] + spec, 0.0, 1.0) for a in range(3))
+
+
+def smooth_shading_cols(sun_line, corners9, view, u, v):
+    """Gouraud smooth shading, column form (render.hpp:57-84).
+
+    sun_line/view: 3-tuples of (R,); corners9: (R, 9) packed corner
+    normals [n0 | n1 | n2] (one winner-gather payload row per ray).
+    Returns 3-tuple of (R,) RGB columns. Same corner-weight convention as
+    :func:`smooth_shading` (w, u, v) — see that docstring for the
+    documented deviation from render.hpp:76-83.
+    """
+    neg_view = (-view[0], -view[1], -view[2])
+    cs = [
+        _corner_shade_cols(
+            sun_line,
+            (corners9[:, 3 * k], corners9[:, 3 * k + 1],
+             corners9[:, 3 * k + 2]),
+            neg_view)
+        for k in range(3)
+    ]
+    w = 1.0 - u - v
+    return tuple(w * cs[0][a] + u * cs[1][a] + v * cs[2][a]
+                 for a in range(3))
+
+
+def flat_shading_cols(n, guard=None):
+    """flat_shading in column form: abs(normalize(n)) per column."""
+    nn = _normalize3(n, guard=guard)
+    return tuple(jnp.abs(c) for c in nn)

@@ -96,84 +96,80 @@ def _interval_entry(lo, hi, dlo, dhi, olo=None, ohi=None):
     unrestrictive (their 1/d is not an interval). Conservative by
     construction — pruning in the kernel is against per-ray exact hit
     distances, so looseness only costs scheduled (skippable) visits.
+
+    LAYOUT: every tensor op is (n_t, N_c)-shaped — tiles on sublanes,
+    clusters on lanes — with the xyz axis UNROLLED in Python. Putting the
+    3-vector on the lane axis instead (the naive (n_t, N_c, 3) form) pads
+    3 -> 128 lanes and wastes 42x of the VPU; measured 70 ms/frame vs ~2.
+    An origin hull folds into the box corners (box - [olo, ohi] is just a
+    wider box), so generic rays cost the same 4 corner products per axis
+    as common-origin rays.
     """
-    inv_a = _safe_inverse(dlo)[:, None, :]           # (n_t, 1, 3)
-    inv_b = _safe_inverse(dhi)[:, None, :]
-    straddle = ((dlo < 0) & (dhi > 0))[:, None, :]   # (n_t, 1, 3)
-
-    if olo is None:
-        n_lo = lo[None]                              # (1, N_c, 3) both ends
-        n_hi = hi[None]
-        corners = (n_lo * inv_a, n_lo * inv_b, n_hi * inv_a, n_hi * inv_b)
-    else:
-        nl1 = lo[None] - ohi[:, None, :]
-        nl2 = lo[None] - olo[:, None, :]
-        nh1 = hi[None] - ohi[:, None, :]
-        nh2 = hi[None] - olo[:, None, :]
-        corners = (nl1 * inv_a, nl1 * inv_b, nl2 * inv_a, nl2 * inv_b,
-                   nh1 * inv_a, nh1 * inv_b, nh2 * inv_a, nh2 * inv_b)
-
-    emin = functools.reduce(jnp.minimum, corners)
-    emax = functools.reduce(jnp.maximum, corners)
-    emin = jnp.where(straddle, -_BIG, emin)
-    emax = jnp.where(straddle, _BIG, emax)
-    tn = jnp.maximum(emin.max(axis=-1), 0.0)         # (n_t, N_c)
-    tf = emax.min(axis=-1)
+    empty = jnp.any(hi < lo, axis=-1)[None, :]       # (1, N_c) treelet pad
+    tn = None
+    tf = None
+    for a in range(3):
+        la = lo[None, :, a]                          # (1, N_c)
+        ha = hi[None, :, a]
+        if olo is not None:
+            la = la - ohi[:, a : a + 1]              # (n_t, N_c)
+            ha = ha - olo[:, a : a + 1]
+        ia = _safe_inverse(dlo[:, a : a + 1])        # (n_t, 1)
+        ib = _safe_inverse(dhi[:, a : a + 1])
+        c0 = la * ia
+        c1 = la * ib
+        c2 = ha * ia
+        c3 = ha * ib
+        emin = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        emax = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        straddle = (dlo[:, a : a + 1] < 0) & (dhi[:, a : a + 1] > 0)
+        emin = jnp.where(straddle, -_BIG, emin)
+        emax = jnp.where(straddle, _BIG, emax)
+        tn = emin if tn is None else jnp.maximum(tn, emin)
+        tf = emax if tf is None else jnp.minimum(tf, emax)
+    tn = jnp.maximum(tn, 0.0)
     hit = tn * (1.0 - _ULP_PAD) <= jnp.minimum(tf, _BIG) * (1.0 + _ULP_PAD)
     # Empty clusters (inf/-inf sentinel boxes from treelet padding) would
     # pass the inf-arithmetic test; mask them out explicitly.
-    hit = hit & jnp.all(hi >= lo, axis=-1)[None, :]
+    hit = hit & ~empty
     return jnp.where(hit, tn, _BIG)
 
 
-def _hull(x, alive):
-    """(n_t, R, 3) -> per-tile (lo, hi) hulls over alive rays."""
-    am = alive[..., None]
-    return (jnp.where(am, x, _BIG).min(axis=1),
-            jnp.where(am, x, -_BIG).max(axis=1))
+def _hull(cols, alive):
+    """3-tuple of (n_t, R) ray columns -> per-tile (lo, hi) hulls (n_t, 3).
+
+    Axis-unrolled so every reduction is (n_t, R)-shaped (R on lanes); the
+    naive masked min/max over (n_t, R, 3) puts the 3-vector on the lane
+    axis (3 -> 128 padding, 42x VPU waste)."""
+    los = []
+    his = []
+    for a in range(3):
+        xa = cols[a]                                 # (n_t, R)
+        los.append(jnp.where(alive, xa, _BIG).min(axis=1))
+        his.append(jnp.where(alive, xa, -_BIG).max(axis=1))
+    return jnp.stack(los, axis=-1), jnp.stack(his, axis=-1)
 
 
 def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     """Per-tile candidate cluster lists, sorted FRONT TO BACK.
 
-    dirs_tiled: (n_tiles, R, 3). Returns (lists (n_tiles, N_c) int32 with
-    candidate ids first in ascending entry-bound order, entry
-    (n_tiles, N_c) f32 matching bounds (+_BIG past count), counts
-    (n_tiles,) int32). Chunked over tiles to bound the live set.
+    dirs_tiled: 3-tuple of (n_tiles, R) direction columns (origins_tiled
+    likewise). Returns (lists (n_tiles, N_c) int32 with candidate ids
+    first in ascending entry-bound order, entry (n_tiles, N_c) f32
+    matching bounds (+_BIG past count), counts (n_tiles,) int32).
     """
-    n_tiles = dirs_tiled.shape[0]
     if alive is None:
-        alive = jnp.sum(dirs_tiled * dirs_tiled, axis=-1) > 0.0
-    pad = (-n_tiles) % _PREPASS_TILES
+        alive = (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
+                 + dirs_tiled[2] * dirs_tiled[2]) > 0.0
 
-    def padt(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-
-    dirs_p = padt(dirs_tiled).reshape(
-        (-1, _PREPASS_TILES) + dirs_tiled.shape[1:])
-    alive_p = padt(alive).reshape(dirs_p.shape[:3])
-    if origins_tiled is not None:
-        orig_p = padt(origins_tiled).reshape(dirs_p.shape)
-
-    def chunk_fn(args):
-        if origins_tiled is None:
-            d, a = args
-            dlo, dhi = _hull(d, a)
-            e = _interval_entry(lo, hi, dlo, dhi)
-        else:
-            d, o, a = args
-            dlo, dhi = _hull(d, a)
-            olo, ohi = _hull(o, a)
-            e = _interval_entry(lo, hi, dlo, dhi, olo, ohi)
-        # Tiles with no alive rays (all padding / all skipped) get nothing.
-        return jnp.where(jnp.any(a, axis=1)[:, None], e, _BIG)
-
+    dlo, dhi = _hull(dirs_tiled, alive)
     if origins_tiled is None:
-        per_tile = jax.lax.map(chunk_fn, (dirs_p, alive_p))
+        tn = _interval_entry(lo, hi, dlo, dhi)
     else:
-        per_tile = jax.lax.map(chunk_fn, (dirs_p, orig_p, alive_p))
-
-    tn = per_tile.reshape(-1, lo.shape[0])[:n_tiles]       # (n_tiles, N_c)
+        olo, ohi = _hull(origins_tiled, alive)
+        tn = _interval_entry(lo, hi, dlo, dhi, olo, ohi)
+    # Tiles with no alive rays (all padding / all skipped) get nothing.
+    tn = jnp.where(jnp.any(alive, axis=1)[:, None], tn, _BIG)
     counts = jnp.sum(tn < _VALID_CUT, axis=1).astype(jnp.int32)
     order = jnp.argsort(tn, axis=1, stable=True)
     lists = order.astype(jnp.int32)
@@ -181,7 +177,7 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     return lists, entry, counts
 
 
-def _ray_tcap(root_lo, root_hi, origins, dirs):
+def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
     """Per-ray visit cap: exit distance from the scene's root AABB.
 
     Every cluster box lies inside the root box, so a ray's slab entry to
@@ -189,20 +185,33 @@ def _ray_tcap(root_lo, root_hi, origins, dirs):
     therefore DONE once the walk passes its root exit — the fix for the
     background-pixel worst case (a miss ray no longer pins the tile's
     prune at +inf). Rays that miss the root entirely (or are padding) get
-    a negative cap and never extend the walk. origins=None means the
+    a negative cap and never extend the walk. origin_cols=None means the
     common-origin wavefront with pre-shifted boxes.
+
+    Rays come in COLUMN form (3 separate (R,) arrays): every op here is a
+    flat (R,) vector op — an (R, 3) form puts the 3-vector on the lane
+    axis and wastes 42x of the VPU.
     """
-    inv = _safe_inverse(dirs)
-    if origins is None:
-        t0 = root_lo * inv
-        t1 = root_hi * inv
-    else:
-        t0 = (root_lo - origins) * inv
-        t1 = (root_hi - origins) * inv
-    tn = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), 0.0)
-    tf = jnp.maximum(t0, t1).min(axis=-1)
-    alive = jnp.sum(dirs * dirs, axis=-1) > 0.0
-    hit = (tn * (1.0 - _ULP_PAD) <= tf * (1.0 + _ULP_PAD)) & alive
+    tn = None
+    tf = None
+    alive = None
+    for a in range(3):
+        d = dir_cols[a]
+        inv = _safe_inverse(d)
+        if origin_cols is None:
+            t0 = root_lo[a] * inv
+            t1 = root_hi[a] * inv
+        else:
+            t0 = (root_lo[a] - origin_cols[a]) * inv
+            t1 = (root_hi[a] - origin_cols[a]) * inv
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        tn = near if tn is None else jnp.maximum(tn, near)
+        tf = far if tf is None else jnp.minimum(tf, far)
+        sq = d * d
+        alive = sq if alive is None else alive + sq
+    tn = jnp.maximum(tn, 0.0)
+    hit = (tn * (1.0 - _ULP_PAD) <= tf * (1.0 + _ULP_PAD)) & (alive > 0.0)
     return jnp.where(hit, tf * (1.0 + _ULP_PAD), -1.0)
 
 
@@ -314,7 +323,7 @@ def _make_closest_kernel(c_size: int, n_feat: int):
             id_ref[0, 0, :] = jnp.full_like(id_ref[0, 0, :], -1)
             prune_ref[0] = jnp.max(jnp.minimum(t0, tcap))
 
-        e = entry_ref[0, 0]
+        e = entry_ref[m]
         valid = e < _VALID_CUT
         go = valid & (e <= prune_ref[0])
 
@@ -364,7 +373,7 @@ def _make_any_kernel(c_size: int, n_feat: int):
             occ_ref[0, 0, :] = o0
             prune_ref[0] = jnp.max(jnp.where(o0 == 1, -1.0, tcap))
 
-        e = entry_ref[0, 0]
+        e = entry_ref[m]
         valid = e < _VALID_CUT
         go = valid & (e <= prune_ref[0])
 
@@ -395,23 +404,26 @@ def _wl_grid_spec(m_cap, Kp, C4, n_state_out):
     no scalar stalls; tile-major ordering keeps each tile's blocks VMEM-
     resident across its contiguous run of steps.
     """
-    vmem_out = pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
-                            memory_space=pltpu.VMEM)
-    smem_out = pl.BlockSpec((1, 1), lambda m, tid, cid: (0, 0),
+    vmem_out = pl.BlockSpec(
+        (1, 1, TILE), lambda m, tid, cid, ent: (tid[m], 0, 0),
+        memory_space=pltpu.VMEM)
+    smem_out = pl.BlockSpec((1, 1), lambda m, tid, cid, ent: (0, 0),
                             memory_space=pltpu.SMEM)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # tile ids, cluster ids
+        num_scalar_prefetch=3,   # tile ids, cluster ids, entry bounds
         grid=(m_cap,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda m, tid, cid: (m, 0),
-                         memory_space=pltpu.SMEM),            # entry bound
-            pl.BlockSpec((1, TILE, Kp), lambda m, tid, cid: (tid[m], 0, 0),
+            pl.BlockSpec((1, TILE, Kp),
+                         lambda m, tid, cid, ent: (tid[m], 0, 0),
                          memory_space=pltpu.VMEM),            # ray features
-            pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
+            pl.BlockSpec((1, 1, TILE),
+                         lambda m, tid, cid, ent: (tid[m], 0, 0),
                          memory_space=pltpu.VMEM),            # root-exit cap
-            pl.BlockSpec((1, 1, TILE), lambda m, tid, cid: (tid[m], 0, 0),
+            pl.BlockSpec((1, 1, TILE),
+                         lambda m, tid, cid, ent: (tid[m], 0, 0),
                          memory_space=pltpu.VMEM),            # carried state
-            pl.BlockSpec((1, Kp, C4), lambda m, tid, cid: (cid[m], 0, 0),
+            pl.BlockSpec((1, Kp, C4),
+                         lambda m, tid, cid, ent: (cid[m], 0, 0),
                          memory_space=pltpu.VMEM),            # weight slab
         ],
         out_specs=[vmem_out] * n_state_out + [smem_out, smem_out],
@@ -435,7 +447,7 @@ def _closest_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, t_in,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_ids, cluster_ids, entry_m[:, None], feats, tcap, t_in, w)
+    )(tile_ids, cluster_ids, entry_m, feats, tcap, t_in, w)
 
 
 @functools.partial(jax.jit, static_argnames=("n_feat", "interpret"))
@@ -453,7 +465,7 @@ def _any_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, occ_in,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_ids, cluster_ids, entry_m[:, None], feats, tcap, occ_in, w)
+    )(tile_ids, cluster_ids, entry_m, feats, tcap, occ_in, w)
 
 
 # ---------------------------------------------------------------------------
@@ -566,14 +578,26 @@ def _pack_weights(w):
     return w
 
 
-def _pad_feats(feats, kp):
-    """(R, K) ray features -> (R, kp): append the implicit 1 then zeros."""
-    R, K = feats.shape
-    ones = jnp.ones((R, 1), feats.dtype)
-    out = jnp.concatenate([feats, ones], axis=-1)
-    if kp > K + 1:
-        out = jnp.pad(out, ((0, 0), (0, kp - K - 1)))
-    return out
+def _cols(x):
+    """(R, 3) array or 3-tuple of (R,) columns -> 3-tuple of columns.
+
+    The public entry points accept either form; everything internal runs
+    on flat (R,) columns (structure-of-arrays) because (R, 3) arrays put
+    the 3-vector on the 128-lane axis and waste 42x of the VPU.
+    """
+    if isinstance(x, (tuple, list)):
+        return tuple(x)
+    return (x[..., 0], x[..., 1], x[..., 2])
+
+
+def _feats_from_cols(cols, kp):
+    """Per-ray feature columns -> (R, kp): [cols..., 1, zero padding]."""
+    R = cols[0].shape[0]
+    arrs = list(cols) + [jnp.ones((R,), cols[0].dtype)]
+    if kp > len(arrs):
+        zero = jnp.zeros((R,), cols[0].dtype)
+        arrs.extend([zero] * (kp - len(arrs)))
+    return jnp.stack(arrs, axis=-1)
 
 
 def _tile_rays(x, tile):
@@ -597,18 +621,19 @@ def _scene_root(cs):
 # Public API
 # ---------------------------------------------------------------------------
 
-def _closest_search(cs, eye, dirs):
+def _closest_search(cs, eye, dir_cols):
     """Detached winner search: packed slot ids + counters (no gradients)."""
-    cs, eye, dirs = jax.lax.stop_gradient((cs, eye, dirs))
-    R = dirs.shape[0]
+    cs, eye, dir_cols = jax.lax.stop_gradient((cs, eye, dir_cols))
+    R = dir_cols[0].shape[0]
     w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
     lo = cs.lo - eye
     hi = cs.hi - eye
     root_lo, root_hi = _scene_root(cs)
-    dirs_tiled = _tile_rays(dirs, TILE)
-    feats_tiled = _tile_rays(_pad_feats(dirs, w.shape[1]), TILE)
+    dirs_tiled = tuple(_tile_rays(c, TILE) for c in dir_cols)
+    feats_tiled = _tile_rays(_feats_from_cols(dir_cols, w.shape[1]), TILE)
     tcap_tiled = _tile_rays(
-        _ray_tcap(root_lo - eye, root_hi - eye, None, dirs), TILE)[:, None, :]
+        _ray_tcap(root_lo - eye, root_hi - eye, None, dir_cols),
+        TILE)[:, None, :]
     lists, entry, counts = _tile_cluster_lists(lo, hi, dirs_tiled)
     _, pidx, steps, visits = _closest_rounds(
         w, feats_tiled, tcap_tiled, lists, entry, counts, n_feat=4)
@@ -616,68 +641,105 @@ def _closest_search(cs, eye, dirs):
                                   "mt_block_visits": visits}
 
 
-def _winner_tuv(p0w, e1w, e2w, nw, eye, d):
+def _winner_tuv(rec, eye, dir_cols):
     """Reference Möller-Trumbore at (ray, winning triangle) pairs.
 
     Exactly triangle.hpp:95-115 with c = p0 - eye, evaluated only at the R
     winners instead of through the R x T search — this is where gradients
     of (t, u, v) w.r.t. vertices / camera / ray directions come from.
+    ``rec`` is the (R, >=12) gathered winner table [p0, e1, e2, n, ...];
+    all math is column (R,) ops.
     """
-    c = p0w - eye
-    r = jnp.cross(d, c)
-    det = jnp.sum(nw * d, axis=-1)
+    p0 = (rec[:, 0], rec[:, 1], rec[:, 2])
+    e1 = (rec[:, 3], rec[:, 4], rec[:, 5])
+    e2 = (rec[:, 6], rec[:, 7], rec[:, 8])
+    n = (rec[:, 9], rec[:, 10], rec[:, 11])
+    d = dir_cols
+    c = tuple(p0[a] - eye[a] for a in range(3))
+    r = (d[1] * c[2] - d[2] * c[1],
+         d[2] * c[0] - d[0] * c[2],
+         d[0] * c[1] - d[1] * c[0])
+    det = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
     # det == 0 can only occur at non-winner (masked) rays — the kernel's
     # accept requires det != 0 — but an unprotected 1/0 there would poison
     # gradients through the final jnp.where (0 cotangent x inf partial).
     inv = 1.0 / jnp.where(det != 0, det, 1.0)
-    u = jnp.sum(r * e2w, axis=-1) * inv
-    v = jnp.sum(r * e1w, axis=-1) * inv
-    t = jnp.sum(nw * c, axis=-1) * inv
+    u = (r[0] * e2[0] + r[1] * e2[1] + r[2] * e2[2]) * inv
+    v = (r[0] * e1[0] + r[1] * e1[1] + r[2] * e1[2]) * inv
+    t = (n[0] * c[0] + n[1] * c[1] + n[2] * c[2]) * inv
     return t, u, v
 
 
+def _winner_table(soup: TriangleSoup, cs, payload):
+    """(N_c * C, 13 + P) packed winner table in cluster-slot order.
+
+    Row ``slot`` holds [p0, e1, e2, n, perm_bits, payload...] of the
+    triangle stored at that slot, so ONE row gather by the kernel's packed
+    winner id serves the differentiable (t, u, v) recompute, the original
+    triangle id (perm as f32 bits — a separate s32 gather by original id
+    lowers to a 15 ms/frame scalar-loop custom call), and any per-triangle
+    shading payload. Built from ``soup`` (NOT the stop-gradiented cluster
+    arrays) so gradients flow to vertices through the gather.
+    """
+    src = jnp.clip(cs.perm, 0)
+    valid = (cs.perm >= 0)[:, None]
+    tri12 = jnp.concatenate([soup.p0, soup.e1, soup.e2, soup.n], axis=-1)
+    parts = [jnp.where(valid, tri12[src], 0.0),
+             jax.lax.bitcast_convert_type(cs.perm, jnp.float32)[:, None]]
+    if payload is not None:
+        parts.append(jnp.where(valid, payload[src], 0.0))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
-                              with_counts=False):
+                              with_counts=False, payload=None):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
-    With ``clusters`` (a prebuilt ClusterSet for this exact soup) the
-    acceleration-structure build is skipped — the fast lane for frame
-    loops over static geometry. Fully differentiable either way: the
-    structure only drives the detached winner search; (t, u, v) come from
-    a plain-JAX Möller-Trumbore recomputation at the winners, gathered
-    from ``soup`` by original triangle id.
+    ``dirs`` is (R, 3) or a 3-tuple of (R,) columns (the fast form — all
+    internal math is structure-of-arrays). With ``clusters`` (a prebuilt
+    ClusterSet for this exact soup) the acceleration-structure build is
+    skipped — the fast lane for frame loops over static geometry. Fully
+    differentiable either way: the structure only drives the detached
+    winner search; (t, u, v) come from a plain-JAX Möller-Trumbore
+    recomputation at the winners, gathered from ``soup`` by original
+    triangle id.
 
-    ``with_counts=True`` additionally returns the traversal counters
-    (actual kernel work-list steps and prune-gated MT block executions) —
-    the SingleRayTraverser::Statistics capability
+    ``payload`` ((T, P) per-triangle rows, e.g. shading normals) rides the
+    winner gather: returns (hit, payload_rows (R, P)) with zero rows at
+    misses. ``with_counts=True`` additionally returns the traversal
+    counters (actual kernel work-list steps and prune-gated MT block
+    executions) — the SingleRayTraverser::Statistics capability
     (single_ray_traverser.hpp:131-163), measured, not scheduled.
     """
+    dir_cols = _cols(dirs)
     cs = clusters
     if cs is None:
         cs = cl.build_clusters_treelet(
             jax.tree.map(jax.lax.stop_gradient, soup))
-    pidx, counts = _closest_search(cs, eye, dirs)
+    pidx, counts = _closest_search(cs, eye, dir_cols)
     mask = pidx >= 0
-    prim = jnp.where(mask, cs.perm[jnp.clip(pidx, 0)], 0).astype(jnp.int32)
-    table = jnp.concatenate([soup.p0, soup.e1, soup.e2, soup.n], axis=-1)
-    rec = table[prim]                               # one (R, 12) row gather
-    t, u, v = _winner_tuv(rec[:, 0:3], rec[:, 3:6], rec[:, 6:9],
-                          rec[:, 9:12], eye, dirs)
+    table = _winner_table(soup, cs, payload)
+    rec = table[jnp.clip(pidx, 0)]               # ONE (R, 13+P) row gather
+    prim = jnp.where(
+        mask, jax.lax.bitcast_convert_type(rec[:, 12], jnp.int32), 0)
+    t, u, v = _winner_tuv(rec, eye, dir_cols)
     hit = Hit(t=jnp.where(mask, t, jnp.inf),
               u=jnp.where(mask, u, 0.0),
               v=jnp.where(mask, v, 0.0),
               prim_id=prim, mask=mask)
+    out = (hit,) if payload is None else (hit, rec[:, 13:])
     if with_counts:
         counts["mt_pairs"] = (counts["mt_block_visits"]
                               * TILE * cs.cluster_size)
-        return hit, counts
-    return hit
+        out = out + (counts,)
+    return out[0] if len(out) == 1 else out
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
             clusters=None, with_counts=False):
     """Occlusion test: True where a ray (origins[i], dirs[i]) hits anything.
 
+    ``origins``/``dirs`` are (R, 3) or 3-tuples of (R,) columns.
     ``origin_shift`` recenters the world for conditioning (see
     ceres_tpu.ops.intersect docstring); ``skip`` marks rays whose answer is
     irrelevant (no primary hit) so they generate no traversal work.
@@ -686,29 +748,33 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     ``with_counts=True`` additionally returns the measured traversal
     counters.
     """
-    p0, e1, e2, n, shift, origins, dirs = jax.lax.stop_gradient(
-        (soup.p0, soup.e1, soup.e2, soup.n, origin_shift, origins, dirs))
-    R = dirs.shape[0]
+    soup, shift, o_cols, d_cols = jax.lax.stop_gradient(
+        (soup, origin_shift, _cols(origins), _cols(dirs)))
+    R = d_cols[0].shape[0]
     if clusters is None:
-        cs = cl.build_clusters_treelet(TriangleSoup(p0=p0, e1=e1, e2=e2, n=n))
+        cs = cl.build_clusters_treelet(soup)
     else:
         cs = jax.tree.map(jax.lax.stop_gradient, clusters)
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
     lo = cs.lo - shift
     hi = cs.hi - shift
     root_lo, root_hi = _scene_root(cs)
-    o = origins - shift
+    o = tuple(o_cols[a] - shift[a] for a in range(3))
     if skip is None:
         skip = jnp.zeros((R,), bool)
-    dirs_tiled = _tile_rays(dirs, TILE)
-    orig_tiled = _tile_rays(o, TILE)
+    dirs_tiled = tuple(_tile_rays(c, TILE) for c in d_cols)
+    orig_tiled = tuple(_tile_rays(c, TILE) for c in o)
     alive = _tile_rays(~skip, TILE) & (
-        jnp.sum(dirs_tiled * dirs_tiled, axis=-1) > 0.0)
-    feats_tiled = _tile_rays(_pad_feats(
-        jnp.concatenate([dirs, jnp.cross(dirs, o), o], axis=-1),  # (R, 9)
-        w.shape[1]), TILE)
+        (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
+         + dirs_tiled[2] * dirs_tiled[2]) > 0.0)
+    dxo = (d_cols[1] * o[2] - d_cols[2] * o[1],
+           d_cols[2] * o[0] - d_cols[0] * o[2],
+           d_cols[0] * o[1] - d_cols[1] * o[0])
+    feats_tiled = _tile_rays(
+        _feats_from_cols(d_cols + dxo + o, w.shape[1]), TILE)
     tcap_tiled = _tile_rays(
-        _ray_tcap(root_lo - shift, root_hi - shift, o, dirs), TILE)[:, None]
+        _ray_tcap(root_lo - shift, root_hi - shift, o, d_cols),
+        TILE)[:, None]
     occ0 = _tile_rays(skip.astype(jnp.int32), TILE)[:, None, :]
     # Padding rays are not skipped but have zero dirs -> tcap = -1, so they
     # never extend a tile's prune and never resolve to occluded.

@@ -95,95 +95,100 @@ def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None,
     raise ValueError(f"unknown backend: {backend}")
 
 
-def render_wavefront(
+def render_wavefront_cols(
     soup: TriangleSoup,
     camera: Camera,
     sun_position: jax.Array,
-    dirs: jax.Array,  # (R, 3) normalized primary directions from camera.eye
+    dir_cols,       # 3-tuple of (R,) normalized primary direction columns
     config: RenderConfig,
     clusters=None,  # prebuilt ClusterSet: skips the per-call structure
-                    # build (frame loops over static geometry); megakernel
-                    # backend only. Fully differentiable — the structure
-                    # only drives the detached winner search.
+                    # build (frame loops over static geometry). Fully
+                    # differentiable — the structure only drives the
+                    # detached winner search.
 ):
-    """Render a flat wavefront of primary rays -> ((R, 3) colors, stats)."""
-    want_counts = config.traversal_stats and config.backend == "megakernel"
-    if want_counts:
-        from ceres_tpu.ops import megakernel
+    """Column-form wavefront render -> (3-tuple of (R,) colors, stats).
 
-        hit, counts1 = megakernel.closest_hit_common_origin(
-            soup, camera.eye, dirs, clusters=clusters, with_counts=True)
-    else:
-        hit = _closest_primary(soup, camera, dirs, config.backend,
-                               clusters=clusters)
+    The megakernel fast path: all per-ray math is structure-of-arrays
+    ((R,) columns) — (R, 3) arrays put the 3-vector on the 128-lane axis
+    and waste 42x of the VPU (measured ~35 ms/frame of normalize/dot
+    fusions at 1080p). Everything shading needs per hit rides the single
+    winner row-gather as a payload (megakernel._winner_table).
+    """
+    from ceres_tpu.ops import megakernel
 
-    prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
-    u, v = hit.u, hit.v
-    # One packed row-gather for everything shading needs per hit (TPU
-    # gathers are expensive; 4 separate (R, 3) gathers measured ~40 ms per
-    # 1080p frame vs one contiguous (R, 12) row fetch).
+    want_counts = config.traversal_stats
     if config.mode == "smooth":
         if soup.corner_normals is None:
             raise ValueError("smooth shading requires corner_normals")
-        table = jnp.concatenate(
+        payload = jnp.concatenate(
             [soup.n, soup.corner_normals.reshape(-1, 9)], axis=-1)
-        rec = table[prim]
-        n = rec[:, :3]
-        corners = rec[:, 3:].reshape(-1, 3, 3)
     else:
-        n = soup.n[prim]
-        corners = None
+        payload = soup.n
+    res = megakernel.closest_hit_common_origin(
+        soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
+        with_counts=want_counts)
+    (hit, pay), counts1 = (res[:2], res[2]) if want_counts else (res, None)
+    mask = hit.mask
+    n = (pay[:, 0], pay[:, 1], pay[:, 2])
+    # Normalize the face normal with a miss guard: payload rows are zero
+    # at misses and a NaN there would leak into gradients through where.
+    nsq = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
+    n_inv = jax.lax.rsqrt(jnp.where(mask, nsq, 1.0))
     # Hit point via o + t*d — identical to the true-barycentric
     # interpolation (w, u, v) over (p0, p1, p2) but gather-free. NOTE this
     # deliberately DIFFERS from the reference, whose interpolation
     # u*p0 + v*p1 + w*p2 (render.hpp:127-129) mis-assigns the weights: its
     # "hit point" does not lie on the ray, shifting shadow origins and
     # producing shading seams across shared edges.
-    t_safe = jnp.where(hit.mask, hit.t, 0.0)
-    point = camera.eye + t_safe[:, None] * dirs
-    point = point + SELF_INTERSECT_OFFSET * _normalize(n)
-    sun_line = _normalize(sun_position[None, :] - point)
+    t_safe = jnp.where(mask, hit.t, 0.0)
+    point = tuple(
+        camera.eye[a] + t_safe * dir_cols[a]
+        + SELF_INTERSECT_OFFSET * n[a] * n_inv
+        for a in range(3))
+    sl = tuple(sun_position[a] - point[a] for a in range(3))
+    sl_inv = jax.lax.rsqrt(sl[0] * sl[0] + sl[1] * sl[1] + sl[2] * sl[2])
+    sun_line = tuple(c * sl_inv for c in sl)
 
     counts2 = None
     if config.shadows:
-        if want_counts:
-            from ceres_tpu.ops import megakernel
-
-            occluded, counts2 = megakernel.any_hit(
-                soup, _scene_center(soup), point, sun_line, skip=~hit.mask,
-                clusters=clusters, with_counts=True)
-        else:
-            occluded = _any_shadow(soup, point, sun_line, config.backend,
-                                   skip=~hit.mask, clusters=clusters)
+        res2 = megakernel.any_hit(
+            soup, _scene_center(soup), point, sun_line, skip=~mask,
+            clusters=clusters, with_counts=want_counts)
+        occluded, counts2 = res2 if want_counts else (res2, None)
     else:
-        occluded = jnp.zeros(dirs.shape[0], dtype=bool)
+        occluded = jnp.zeros_like(mask)
 
     if config.mode == "smooth":
-        shade = shading_mod.smooth_shading(sun_line, corners, dirs, u, v)
+        shade = shading_mod.smooth_shading_cols(
+            sun_line, pay[:, 3:12], dir_cols, hit.u, hit.v)
     elif config.mode == "flat":
-        shade = shading_mod.flat_shading(n)
+        shade = shading_mod.flat_shading_cols(n, guard=mask)
     elif config.mode == "normal":
         # Pure normal visualization (render.hpp:123-125), no lighting.
-        shade = shading_mod.flat_shading(n)
+        shade = shading_mod.flat_shading_cols(n, guard=mask)
         occluded = jnp.zeros_like(occluded)
     else:
         raise ValueError(f"unknown shading mode: {config.mode}")
 
-    lit = hit.mask & ~occluded
-    color = jnp.where(lit[:, None], shade, 0.0)
+    lit = mask & ~occluded
+    color = tuple(jnp.where(lit, s, 0.0) for s in shade)
+    stats = _wavefront_stats(hit, occluded, dir_cols[0].shape[0],
+                             soup, config, counts1, counts2)
+    return color, stats
 
+
+def _wavefront_stats(hit, occluded, R, soup, config, counts1, counts2):
+    """rays/hits counting parity (render.hpp:102,115,119,138,148)."""
     primary_hits = jnp.sum(hit.mask)
     shadow_hits = jnp.sum(hit.mask & occluded)
     stats = {
-        "rays": dirs.shape[0] + primary_hits,
+        "rays": R + primary_hits,
         "hits": primary_hits + shadow_hits,
         "primary_hits": primary_hits,
         "shadow_hits": shadow_hits,
     }
     if config.traversal_stats:
-        R = dirs.shape[0]
-        T = soup.num_triangles
-        if want_counts:
+        if counts1 is not None:
             # Measured inside the kernel (actual loop iterations and gated
             # MT block executions — early exits and skips included), not
             # the scheduled upper bound. SingleRayTraverser::Statistics
@@ -201,7 +206,71 @@ def render_wavefront(
             # per wavefront (shadow wavefront included when enabled).
             stats["traversal_steps"] = jnp.asarray(0)
             stats["intersections"] = jnp.asarray(
-                R * T * (2 if config.shadows else 1))
+                R * soup.num_triangles * (2 if config.shadows else 1))
+    return stats
+
+
+def render_wavefront(
+    soup: TriangleSoup,
+    camera: Camera,
+    sun_position: jax.Array,
+    dirs: jax.Array,  # (R, 3) normalized primary directions from camera.eye
+    config: RenderConfig,
+    clusters=None,
+):
+    """Render a flat wavefront of primary rays -> ((R, 3) colors, stats).
+
+    The megakernel backend delegates to :func:`render_wavefront_cols`
+    (column pipeline); bruteforce keeps the dense (R, 3) form — it is the
+    golden oracle path, not a performance path.
+    """
+    if config.backend == "megakernel":
+        cols, stats = render_wavefront_cols(
+            soup, camera, sun_position,
+            (dirs[:, 0], dirs[:, 1], dirs[:, 2]), config, clusters=clusters)
+        return jnp.stack(cols, axis=-1), stats
+
+    hit = _closest_primary(soup, camera, dirs, config.backend,
+                           clusters=clusters)
+    prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
+    u, v = hit.u, hit.v
+    if config.mode == "smooth":
+        if soup.corner_normals is None:
+            raise ValueError("smooth shading requires corner_normals")
+        table = jnp.concatenate(
+            [soup.n, soup.corner_normals.reshape(-1, 9)], axis=-1)
+        rec = table[prim]
+        n = rec[:, :3]
+        corners = rec[:, 3:].reshape(-1, 3, 3)
+    else:
+        n = soup.n[prim]
+        corners = None
+    # Hit point convention: see render_wavefront_cols.
+    t_safe = jnp.where(hit.mask, hit.t, 0.0)
+    point = camera.eye + t_safe[:, None] * dirs
+    point = point + SELF_INTERSECT_OFFSET * _normalize(n)
+    sun_line = _normalize(sun_position[None, :] - point)
+
+    if config.shadows:
+        occluded = _any_shadow(soup, point, sun_line, config.backend,
+                               skip=~hit.mask, clusters=clusters)
+    else:
+        occluded = jnp.zeros(dirs.shape[0], dtype=bool)
+
+    if config.mode == "smooth":
+        shade = shading_mod.smooth_shading(sun_line, corners, dirs, u, v)
+    elif config.mode == "flat":
+        shade = shading_mod.flat_shading(n)
+    elif config.mode == "normal":
+        shade = shading_mod.flat_shading(n)
+        occluded = jnp.zeros_like(occluded)
+    else:
+        raise ValueError(f"unknown shading mode: {config.mode}")
+
+    lit = hit.mask & ~occluded
+    color = jnp.where(lit[:, None], shade, 0.0)
+    stats = _wavefront_stats(hit, occluded, dirs.shape[0], soup, config,
+                             None, None)
     return color, stats
 
 
@@ -220,21 +289,26 @@ def render_pipeline(
         # Clean error like the reference's empty-scene check (anim.cpp:39-42).
         raise ValueError("scene has no triangles")
     soup = triangle_soup(vertices, faces, with_normals=config.mode == "smooth")
-    dirs_hw = camera_rays(camera, config.width, config.height)
     if config.backend == "megakernel":
         # Pixel-block ray order: each 512-ray kernel tile is a compact
         # 16 x 32 screen block, so cluster culling bites (utils.tiling).
+        # Column (structure-of-arrays) pipeline end to end.
+        from ceres_tpu.models.camera import camera_ray_columns
         from ceres_tpu.utils import tiling
 
-        dirs = tiling.swizzle(dirs_hw)
-        color, stats = render_wavefront(soup, camera, sun_position, dirs,
-                                        config, clusters=clusters)
-        image = tiling.unswizzle(color, config.height, config.width)
+        planes = camera_ray_columns(camera, config.width, config.height)
+        dir_cols = tuple(tiling.swizzle_plane(p) for p in planes)
+        color, stats = render_wavefront_cols(
+            soup, camera, sun_position, dir_cols, config, clusters=clusters)
+        image = jnp.stack(
+            [tiling.unswizzle_plane(c, config.height, config.width)
+             for c in color], axis=-1)
         # Padded rays are inert (zero dirs -> no hit) but subtract their
         # count from the traversal stats for reference-parity numbers.
-        stats["rays"] = stats["rays"] - (dirs.shape[0]
+        stats["rays"] = stats["rays"] - (dir_cols[0].shape[0]
                                          - config.height * config.width)
         return image, stats
+    dirs_hw = camera_rays(camera, config.width, config.height)
     dirs = dirs_hw.reshape(-1, 3)
     color, stats = render_wavefront(soup, camera, sun_position, dirs, config,
                                     clusters=clusters)

@@ -8,6 +8,7 @@ the driver-specified benchmark configs so tests, bench.py and the CLI agree.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -16,7 +17,28 @@ from ceres_tpu.io.obj import load_obj
 from ceres_tpu.models.camera import Camera
 from ceres_tpu.models.transform import rotate_vertices_about_axis
 
-DATA_DIR = "/root/reference/data"
+
+def data_dir() -> str:
+    """The repo's own ``data/`` directory (bunny/dragon assets checked in),
+    falling back to the reference checkout if the package is used in-place
+    elsewhere."""
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "data")
+    if os.path.isdir(here):
+        return here
+    return "/root/reference/data"
+
+
+DATA_DIR = data_dir()
+
+
+def bunny_path() -> str:
+    return os.path.join(data_dir(), "bunny.obj")
+
+
+def dragon_path() -> str:
+    return os.path.join(data_dir(), "dragon.obj")
 AXES = {"x": 0, "y": 1, "z": 2}
 
 

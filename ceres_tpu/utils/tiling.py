@@ -38,6 +38,31 @@ def swizzle(x, th: int = TILE_H, tw: int = TILE_W):
     return x.reshape(-1, C)
 
 
+def swizzle_plane(x, th: int = TILE_H, tw: int = TILE_W):
+    """(H, W) scalar plane -> (n_rays,) in pixel-block order (zero-padded).
+
+    The column-form twin of :func:`swizzle` for structure-of-arrays ray
+    pipelines (one call per x/y/z component)."""
+    H, W = x.shape
+    ph = (-H) % th
+    pw = (-W) % tw
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    H, W = x.shape
+    x = x.reshape(H // th, th, W // tw, tw)
+    return x.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def unswizzle_plane(x, height: int, width: int,
+                    th: int = TILE_H, tw: int = TILE_W):
+    """Inverse of swizzle_plane: (n_rays,) -> (height, width)."""
+    Hp = height + (-height) % th
+    Wp = width + (-width) % tw
+    x = x.reshape(Hp // th, Wp // tw, th, tw)
+    x = x.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+    return x[:height, :width]
+
+
 def unswizzle(x, height: int, width: int, th: int = TILE_H, tw: int = TILE_W):
     """Inverse of swizzle: (n_rays, C) -> (height, width, C), padding cropped."""
     Hp = height + (-height) % th

@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pytest
 
-DATA_DIR = "/root/reference/data"
+from ceres_tpu.render.scenes import data_dir
+
+DATA_DIR = data_dir()
 
 
 @pytest.fixture(scope="session")

@@ -80,7 +80,7 @@ def test_anim_incremental_frames_and_resume(tmp_path, capsys):
 
     frames_dir = str(tmp_path / "frames")
     out = str(tmp_path / "turn.gif")
-    argv = ["/root/reference/data/bunny.obj", "-o", out, "--frames", "4",
+    argv = [os.path.join(data_dir(), "bunny.obj"), "-o", out, "--frames", "4",
             "--width", "32", "--height", "24", "--mode", "flat",
             "--backend", "bruteforce", "--batch", "2",
             "--save-frames", frames_dir]

@@ -74,7 +74,7 @@ def test_cli_double_flag(tmp_path):
 
     out = tmp_path / "out.ppm"
     try:
-        rc = cli.main(["/root/reference/data/bunny.obj", "-o", str(out),
+        rc = cli.main([os.path.join(data_dir(), "bunny.obj"), "-o", str(out),
                        "--width", "32", "--height", "32", "-d",
                        "--backend", "megakernel"])  # auto-switches + warns
     finally:

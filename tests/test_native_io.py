@@ -6,7 +6,9 @@ import pytest
 from ceres_tpu.io import native
 from ceres_tpu.io.obj import parse_obj
 
-DATA = "/root/reference/data"
+from ceres_tpu.render.scenes import data_dir
+
+DATA = data_dir()
 
 
 @pytest.mark.skipif(not native.available(),
