@@ -47,6 +47,7 @@ def main() -> int:
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera
     from ceres_tpu.parallel.sharded import device_mesh, render_sharded
+    from ceres_tpu.render.scenes import bunny_path
 
     verts, faces = load_obj(bunny_path())
     eye = np.asarray([0.0, 0.1, -0.3], np.float32)

@@ -12,6 +12,7 @@ import pytest
 
 from ceres_tpu.models.camera import Camera
 from ceres_tpu.render.renderer import RenderConfig, render_pipeline
+from ceres_tpu.render.scenes import data_dir
 from ceres_tpu.diff.inverse import fit_vertices
 
 import jax.numpy as jnp

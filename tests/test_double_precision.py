@@ -8,11 +8,13 @@ tighter than the f32 path does.
 """
 
 import jax
+import os
 import numpy as np
 import pytest
 
 from ceres_tpu.render.renderer import RenderConfig, render
 from ceres_tpu.render import scenes
+from ceres_tpu.render.scenes import data_dir
 from ceres_tpu.utils import golden
 
 

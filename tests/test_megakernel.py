@@ -153,11 +153,13 @@ class TestRenderBackendEquivalence:
                                    atol=3e-6 * np.abs(gb).max())
 
 
-class TestWeightChunking:
-    """Chunked cluster weights (the beyond-VMEM scene path) must be
-    pixel-identical to the single-launch kernel."""
+class TestMultiRoundScheduling:
+    """The beyond-VMEM mechanism: when one round's work-list budget cannot
+    cover the live (tile, cluster) set, further scheduling rounds must
+    produce a pixel-identical image (the round loop re-culls against the
+    improved prune and resumes from each tile's cursor)."""
 
-    def test_chunked_matches_unchunked(self, bunny, monkeypatch):
+    def test_multi_round_matches_single_round(self, bunny, monkeypatch):
         import numpy as np
 
         from ceres_tpu.ops import megakernel as mk
@@ -170,7 +172,9 @@ class TestWeightChunking:
         ref, ref_stats = render(scene.vertices, scene.faces, scene.camera,
                                 scene.sun, config=cfg)
         ref = np.asarray(ref)
-        monkeypatch.setattr(mk, "_WEIGHTS_CHUNK", 16)  # bunny: ~61 clusters
+        # Starve the per-round budget so every wavefront needs many rounds
+        # (48x48 -> 5 tiles; bunny treelet cut -> tens of clusters live).
+        monkeypatch.setattr(mk, "_M_CAP_FACTOR", 1)
         import jax
 
         jax.clear_caches()  # jit keys don't see module globals: force retrace
@@ -181,6 +185,6 @@ class TestWeightChunking:
             hits = int(stats["hits"])
         finally:
             monkeypatch.undo()
-            jax.clear_caches()  # drop executables traced with chunk=16
+            jax.clear_caches()  # drop executables traced with the tiny cap
         np.testing.assert_array_equal(img, ref)
         assert hits == int(ref_stats["hits"])
