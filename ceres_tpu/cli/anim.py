@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=None,
                    help="frames rendered per device dispatch "
                         "(default: one full mesh-sized batch at a time)")
+    p.add_argument("-d", "--double", action="store_true",
+                   help="render in float64 — the reference anim app's one "
+                        "real flag (anim.cpp:145-158); forces the "
+                        "bruteforce backend (the megakernel is f32 TPU "
+                        "hardware)")
     p.add_argument("--save-frames", metavar="DIR", default=None,
                    help="write each frame to DIR/frame_NNNN.png as soon as "
                         "it is rendered; on restart, already-written frames "
@@ -79,6 +84,13 @@ def run(args) -> int:
     import jax
     import numpy as np
 
+    if args.double:
+        jax.config.update("jax_enable_x64", True)
+        if args.backend == "megakernel":
+            print("note: --double uses the bruteforce backend "
+                  "(the megakernel is f32 TPU hardware)")
+            args.backend = "bruteforce"
+
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera
     from ceres_tpu.parallel.sharded import (
@@ -90,21 +102,25 @@ def run(args) -> int:
     if faces.shape[0] == 0:
         print("Error: scene has no triangles", file=sys.stderr)
         return 1
+    if args.double:
+        vertices = vertices.astype(np.float64)
     print(f"Loaded {vertices.shape[0]} vertices / {faces.shape[0]} faces")
 
+    dtype = np.float64 if args.double else np.float32
     center = vertices.mean(axis=0)
     if args.eye is not None:
-        eye = np.asarray(args.eye, np.float32)
+        eye = np.asarray(args.eye, dtype)
     else:
         # Auto-frame: back off along -z by 2.5x the bounding radius.
         radius = float(np.linalg.norm(vertices - center, axis=1).max())
-        eye = center + np.asarray([0, 0, -2.5 * radius], np.float32)
-    camera = Camera.make(eye=eye, dir=center - eye, up=args.up, fov=args.fov)
-    sun = np.asarray(args.sun, np.float32)
+        eye = center + np.asarray([0, 0, -2.5 * radius], dtype)
+    camera = Camera.make(eye=eye, dir=center - eye, up=args.up, fov=args.fov,
+                         dtype=dtype)
+    sun = np.asarray(args.sun, dtype)
 
     n_dev = len(jax.devices())
     mesh = device_mesh()  # all devices on the "rays" axis; frames batched below
-    tracks = turntable_transforms(args.frames, axis=args.axis)
+    tracks = turntable_transforms(args.frames, axis=args.axis, dtype=dtype)
 
     def _frame_path(k: int) -> str:
         return os.path.join(args.save_frames, f"frame_{k:04d}.png")

@@ -85,3 +85,20 @@ def test_cli_double_flag(tmp_path):
         jax.config.update("jax_enable_x64", False)
     assert rc == 0
     assert out.exists() and out.stat().st_size > 32 * 32 * 3
+
+
+def test_anim_cli_double_flag(tmp_path):
+    """`ceres-anim -d`: the reference anim app's one real flag
+    (anim.cpp:145-158) — double-precision Scalar for the whole frame loop."""
+    from ceres_tpu.cli import anim as cli
+
+    out = tmp_path / "turn.gif"
+    try:
+        rc = cli.main([os.path.join(data_dir(), "bunny.obj"), "-o", str(out),
+                       "--frames", "2", "--width", "24", "--height", "16",
+                       "--mode", "flat", "-d",
+                       "--backend", "megakernel"])  # auto-switches + warns
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
