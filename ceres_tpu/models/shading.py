@@ -61,6 +61,7 @@ def smooth_shading(
     view: jax.Array,          # (..., 3), primary-ray direction (un-negated)
     u: jax.Array,             # (...)
     v: jax.Array,             # (...)
+    reference_compat: bool = False,
 ) -> jax.Array:
     """Gouraud smooth shading (render.hpp:57-84).
 
@@ -68,15 +69,18 @@ def smooth_shading(
     order — the *true* barycentrics of the reference's MT variant. NOTE:
     the reference itself weights corners (u, v, 1-u-v) (render.hpp:76-83),
     a mis-assignment matching its hit-point bug (see
-    ceres_tpu.render.renderer); we interpolate correctly, which makes
-    shading C0-continuous across shared mesh edges.
+    ceres_tpu.render.renderer); we interpolate correctly by default, which
+    makes shading C0-continuous across shared mesh edges.
+    ``reference_compat=True`` reproduces the reference's exact (u, v, 1-u-v)
+    assignment instead.
     """
     neg_view = -view
     c0 = corner_shade(sun_line, corner_normals[..., 0, :], neg_view)
     c1 = corner_shade(sun_line, corner_normals[..., 1, :], neg_view)
     c2 = corner_shade(sun_line, corner_normals[..., 2, :], neg_view)
     w = 1.0 - u - v
-    return w[..., None] * c0 + u[..., None] * c1 + v[..., None] * c2
+    w0, w1, w2 = (u, v, w) if reference_compat else (w, u, v)
+    return w0[..., None] * c0 + w1[..., None] * c1 + w2[..., None] * c2
 
 
 def flat_shading(normal: jax.Array) -> jax.Array:
@@ -117,14 +121,16 @@ def _corner_shade_cols(sun, n, neg_view):
     return tuple(jnp.clip(base * TINT[a] + spec, 0.0, 1.0) for a in range(3))
 
 
-def smooth_shading_cols(sun_line, corners9, view, u, v):
+def smooth_shading_cols(sun_line, corners9, view, u, v,
+                        reference_compat: bool = False):
     """Gouraud smooth shading, column form (render.hpp:57-84).
 
     sun_line/view: 3-tuples of (R,); corners9: (R, 9) packed corner
     normals [n0 | n1 | n2] (one winner-gather payload row per ray).
     Returns 3-tuple of (R,) RGB columns. Same corner-weight convention as
     :func:`smooth_shading` (w, u, v) — see that docstring for the
-    documented deviation from render.hpp:76-83.
+    documented deviation from render.hpp:76-83 and the
+    ``reference_compat`` switch that reproduces it.
     """
     neg_view = (-view[0], -view[1], -view[2])
     cs = [
@@ -136,7 +142,8 @@ def smooth_shading_cols(sun_line, corners9, view, u, v):
         for k in range(3)
     ]
     w = 1.0 - u - v
-    return tuple(w * cs[0][a] + u * cs[1][a] + v * cs[2][a]
+    w0, w1, w2 = (u, v, w) if reference_compat else (w, u, v)
+    return tuple(w0 * cs[0][a] + w1 * cs[1][a] + w2 * cs[2][a]
                  for a in range(3))
 
 

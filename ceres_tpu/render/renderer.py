@@ -52,6 +52,15 @@ class RenderConfig:
     # Statistics mechanism (single_ray_traverser.hpp:131-163), distinct
     # from the app-level rays/hits counts (SURVEY.md §3.5 wants both).
     traversal_stats: bool = False
+    # Reproduce the reference's EXACT barycentric assignment: hit point
+    # u*p0 + v*p1 + (1-u-v)*p2 (render.hpp:127-129) and Gouraud corner
+    # weights (u, v, 1-u-v) (render.hpp:76-83). That assignment mis-pairs
+    # the MT (u, v) with the corners — the interpolated "hit point" does
+    # not lie on the ray — so the default (False) interpolates correctly
+    # ((1-u-v, u, v), hit point = eye + t*view); this flag exists to make
+    # reference parity bit-testable (tests/test_reference_compat.py checks
+    # it against a PPM rendered by the actual C++ reference).
+    reference_compat: bool = False
 
 
 def _normalize(v):
@@ -124,6 +133,12 @@ def render_wavefront_cols(
             [soup.n, soup.corner_normals.reshape(-1, 9)], axis=-1)
     else:
         payload = soup.n
+    n_pay = payload.shape[-1]
+    if config.reference_compat:
+        # The compat hit point needs the winner's vertices; they ride the
+        # same single winner gather as the shading payload.
+        payload = jnp.concatenate([payload, soup.p0, soup.e1, soup.e2],
+                                  axis=-1)
     res = megakernel.closest_hit_common_origin(
         soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
         with_counts=want_counts)
@@ -134,17 +149,29 @@ def render_wavefront_cols(
     # at misses and a NaN there would leak into gradients through where.
     nsq = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
     n_inv = jax.lax.rsqrt(jnp.where(mask, nsq, 1.0))
-    # Hit point via o + t*d — identical to the true-barycentric
-    # interpolation (w, u, v) over (p0, p1, p2) but gather-free. NOTE this
-    # deliberately DIFFERS from the reference, whose interpolation
-    # u*p0 + v*p1 + w*p2 (render.hpp:127-129) mis-assigns the weights: its
-    # "hit point" does not lie on the ray, shifting shadow origins and
-    # producing shading seams across shared edges.
-    t_safe = jnp.where(mask, hit.t, 0.0)
-    point = tuple(
-        camera.eye[a] + t_safe * dir_cols[a]
-        + SELF_INTERSECT_OFFSET * n[a] * n_inv
-        for a in range(3))
+    if config.reference_compat:
+        # The reference's exact interpolation u*p0 + v*p1 + (1-u-v)*p2
+        # (render.hpp:127-129) — mis-assigned weights, the point is off-ray.
+        w_bar = 1.0 - hit.u - hit.v
+        point = tuple(
+            hit.u * pay[:, n_pay + a]
+            + hit.v * (pay[:, n_pay + a] - pay[:, n_pay + 3 + a])   # p1=p0-e1
+            + w_bar * (pay[:, n_pay + 6 + a] + pay[:, n_pay + a])   # p2=e2+p0
+            + SELF_INTERSECT_OFFSET * n[a] * n_inv
+            for a in range(3))
+    else:
+        # Hit point via o + t*d — identical to the true-barycentric
+        # interpolation (w, u, v) over (p0, p1, p2) but gather-free. NOTE
+        # this deliberately DIFFERS from the reference, whose interpolation
+        # u*p0 + v*p1 + w*p2 (render.hpp:127-129) mis-assigns the weights:
+        # its "hit point" does not lie on the ray, shifting shadow origins
+        # and producing shading seams across shared edges. Set
+        # config.reference_compat for the reference's exact behavior.
+        t_safe = jnp.where(mask, hit.t, 0.0)
+        point = tuple(
+            camera.eye[a] + t_safe * dir_cols[a]
+            + SELF_INTERSECT_OFFSET * n[a] * n_inv
+            for a in range(3))
     sl = tuple(sun_position[a] - point[a] for a in range(3))
     sl_inv = jax.lax.rsqrt(sl[0] * sl[0] + sl[1] * sl[1] + sl[2] * sl[2])
     sun_line = tuple(c * sl_inv for c in sl)
@@ -160,7 +187,8 @@ def render_wavefront_cols(
 
     if config.mode == "smooth":
         shade = shading_mod.smooth_shading_cols(
-            sun_line, pay[:, 3:12], dir_cols, hit.u, hit.v)
+            sun_line, pay[:, 3:12], dir_cols, hit.u, hit.v,
+            reference_compat=config.reference_compat)
     elif config.mode == "flat":
         shade = shading_mod.flat_shading_cols(n, guard=mask)
     elif config.mode == "normal":
@@ -246,8 +274,15 @@ def render_wavefront(
         n = soup.n[prim]
         corners = None
     # Hit point convention: see render_wavefront_cols.
-    t_safe = jnp.where(hit.mask, hit.t, 0.0)
-    point = camera.eye + t_safe[:, None] * dirs
+    if config.reference_compat:
+        p0 = soup.p0[prim]
+        p1 = p0 - soup.e1[prim]
+        p2 = soup.e2[prim] + p0
+        w_bar = (1.0 - u - v)[:, None]
+        point = u[:, None] * p0 + v[:, None] * p1 + w_bar * p2
+    else:
+        t_safe = jnp.where(hit.mask, hit.t, 0.0)
+        point = camera.eye + t_safe[:, None] * dirs
     point = point + SELF_INTERSECT_OFFSET * _normalize(n)
     sun_line = _normalize(sun_position[None, :] - point)
 
@@ -258,7 +293,9 @@ def render_wavefront(
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 
     if config.mode == "smooth":
-        shade = shading_mod.smooth_shading(sun_line, corners, dirs, u, v)
+        shade = shading_mod.smooth_shading(
+            sun_line, corners, dirs, u, v,
+            reference_compat=config.reference_compat)
     elif config.mode == "flat":
         shade = shading_mod.flat_shading(n)
     elif config.mode == "normal":

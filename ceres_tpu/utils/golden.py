@@ -63,14 +63,18 @@ def any_hit(origins, dirs, p0, e1, e2, n, tmin=0.0, tmax=np.inf):
 
 
 def render_golden(vertices, faces, eye, cam_dir, up, fov, sun, width, height,
-                  mode="smooth", dtype=np.float64):
+                  mode="smooth", dtype=np.float64, reference_compat=False):
     """Full-pipeline oracle render: returns ((H, W, 3) image, stats dict).
 
-    Mirrors render.hpp:86-156: primary closest hit, hit point
-    u*p0 + v*p1 + (1-u-v)*p2 offset by -1e-5*normalize(n), shadow ray toward
-    the sun (occluded -> black), smooth Gouraud shading. ``mode`` in
-    {"smooth", "flat"} ("flat" is the |normal| visualization at
-    render.hpp:123-125, used by BASELINE config 1).
+    Mirrors render.hpp:86-156: primary closest hit, hit point offset by
+    -1e-5*normalize(n), shadow ray toward the sun (occluded -> black),
+    smooth Gouraud shading. ``mode`` in {"smooth", "flat"} ("flat" is the
+    |normal| visualization at render.hpp:123-125, used by BASELINE
+    config 1). ``reference_compat=True`` reproduces the reference's exact
+    barycentric assignment — hit point u*p0 + v*p1 + (1-u-v)*p2
+    (render.hpp:127-129) and Gouraud weights (u, v, 1-u-v)
+    (render.hpp:76-83) — instead of the default corrected interpolation
+    ((1-u-v)*p0 + u*p1 + v*p2, weights (1-u-v, u, v)).
     """
     vertices = np.asarray(vertices, dtype)
     faces = np.asarray(faces)
@@ -116,10 +120,17 @@ def render_golden(vertices, faces, eye, cam_dir, up, fov, sun, width, height,
     tri = hit_id[hi]
     hu, hv = u[hi], v[hi]
     hw = 1.0 - hu - hv
-    # True barycentrics (w, u, v) on (p0, p1, p2) — deliberately fixes the
-    # reference's mis-assigned interpolation (render.hpp:127-129), see
-    # ceres_tpu.render.renderer.
-    point = (hw[:, None] * p0[tri] + hu[:, None] * p1[tri] + hv[:, None] * p2[tri])
+    if reference_compat:
+        # The reference's exact (mis-assigned) interpolation
+        # (render.hpp:127-129).
+        point = (hu[:, None] * p0[tri] + hv[:, None] * p1[tri]
+                 + hw[:, None] * p2[tri])
+    else:
+        # True barycentrics (w, u, v) on (p0, p1, p2) — deliberately fixes
+        # the reference's mis-assigned interpolation (render.hpp:127-129),
+        # see ceres_tpu.render.renderer.
+        point = (hw[:, None] * p0[tri] + hu[:, None] * p1[tri]
+                 + hv[:, None] * p2[tri])
     point = point + (-1e-5) * normalize(n[tri])
     sun_line = normalize(sun[None, :] - point)
     occluded = any_hit(point, sun_line, p0, e1, e2, n)
@@ -135,7 +146,9 @@ def render_golden(vertices, faces, eye, cam_dir, up, fov, sun, width, height,
     cn = corner_normals[tri]  # (K, 3, 3)
     neg_view = -view_flat[hi]
     color = np.zeros((len(hi), 3), dtype)
-    weights = [hw, hu, hv]  # true barycentrics for corners (0, 1, 2)
+    # Default: true barycentrics for corners (0, 1, 2); compat: the
+    # reference's (u, v, 1-u-v) assignment (render.hpp:76-83).
+    weights = [hu, hv, hw] if reference_compat else [hw, hu, hv]
     tint = np.asarray(shading_consts.TINT, dtype)
     for kk in range(3):
         nk = cn[:, kk, :]
