@@ -59,10 +59,20 @@ def main():
     vj = jnp.asarray(verts)
     fj = jnp.asarray(faces)
 
+    # The acceleration structure is built ONCE before the frame loop —
+    # the reference's own structure (BVH built before the loop,
+    # anim.cpp:62-66); per-frame time measures traversal + shading.
+    from ceres_tpu.accel.clusters import build_clusters_treelet
+    from ceres_tpu.models.mesh import triangle_soup
+
     @functools.partial(jax.jit, static_argnames="k")
     def render_k(v, k):
+        clusters = build_clusters_treelet(
+            triangle_soup(v, fj, with_normals=False))
+
         def body(i, acc):
-            image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3, config)
+            image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3, config,
+                                       clusters=clusters)
             return acc + image.sum()
         return jax.lax.fori_loop(0, k, body, 0.0)
 

@@ -1,39 +1,40 @@
-"""Pallas ray-traversal megakernel: work-list-scheduled Möller-Trumbore.
+"""Pallas ray-traversal megakernel: per-tile front-to-back cluster walk.
 
 TPU replacement for the reference's per-ray BVH traversal hot loop
 (lib/bvh/single_ray_traverser.hpp:67-126 + triangle.hpp:95-115), inverted
-for a lockstep vector machine and split into three phases:
+for a lockstep vector machine and split into two phases:
 
   1. **Interval culling prepass (pure JAX).** Rays arrive in spatially
      coherent 512-ray pixel-block tiles (ceres_tpu.utils.tiling). Each
      tile is summarized by interval hulls of its ray directions (and
      origins, for generic rays); every (tile, cluster) pair is culled
      with one conservative interval-arithmetic slab test — O(tiles x
-     clusters) with NO ray dimension. Survivors are compacted per tile
-     and sorted FRONT TO BACK by a lower bound of the tile entry distance
-     (the tile analog of descend-nearer-first,
+     clusters) with NO ray dimension. Survivors are packed into ONE
+     sortable int32 key per pair ((entry-bound bits | cluster id) — the
+     f32 bit pattern is order-isomorphic to the float for values >= 0)
+     and sorted FRONT TO BACK per tile with a single payload-free
+     `jnp.sort` (the tile analog of descend-nearer-first,
      single_ray_traverser.hpp:95-113).
-  2. **Work-list scheduling (pure JAX).** Surviving (tile, cluster) pairs
-     are compacted into a flat, tile-major work list of at most M_CAP
-     entries per round. Pairs whose entry bound exceeds the tile's prune
-     distance — max over rays of min(closest hit so far, scene-root exit)
-     — are dropped: the traverser's tmax-shrink pruning
-     (single_ray_traverser.hpp:59) without the background-pixel worst
-     case (a miss ray is done at its root-box exit). If one round's
-     budget doesn't cover the live set, further rounds re-cull against
-     the improved prune (a `lax.while_loop`; real scenes take 1-2).
-  3. **Intersection kernel (Pallas, scalar-prefetch work list).** ONE
-     grid step per (tile, cluster) pair: the block index maps read the
-     prefetched tile/cluster ids, so the pipeline streams each cluster's
-     MT weight slab HBM -> VMEM double-buffered with no scalar stalls and
-     no whole-scene VMEM residency (scene size is unbounded). Each step
-     evaluates all R x C x 4 MT numerators — (R, K) @ (K, 4C) as K
+  2. **Walk kernel (Pallas).** ONE grid step per ray tile: a while-loop
+     walks that tile's sorted candidate list and EXITS as soon as the
+     next entry bound exceeds the tile's prune — max over rays of
+     min(closest-hit-so-far, scene-root exit) — i.e. the traverser's
+     tmax-shrink pruning (single_ray_traverser.hpp:59,95-113) vectorized
+     per tile, with the background-pixel worst case capped at the root
+     exit. Each visit evaluates all R x C x 4 MT numerators as K
      broadcast-FMA lane passes on the VPU (exact f32; K is 4 or 10, far
-     too thin to feed the MXU) — with a branch-free sign-test epilogue
-     keeping per-ray closest (t, packed id). Steps whose entry bound
-     passed the tile's prune (maintained in SMEM as hits land) skip the
-     math. Tile-major ordering means each tile's output block stays in
-     VMEM across its steps and is written back exactly once.
+     too thin to feed the MXU usefully) with a branch-free sign-test
+     accept. The winner epilogue packs (t, lane id) into ONE int32 key
+     (monotone bitcast; the low ceil(log2 C) mantissa bits carry the
+     lane index) so per-visit selection is a single lane-axis min and a
+     few (R, 1) column ops — no sublane<->lane relayouts, which cost 3x
+     the whole MT math in the naive two-reduction form. All comparisons
+     (t, tcap, entry, prune) stay in int-key space; the prune is padded
+     +256 bits (~ *(1+3e-5)) so the cleared-mantissa t never causes a
+     non-conservative early exit. Weight slabs are VMEM-resident for
+     small scenes and double-buffered HBM->VMEM DMA (driven by the
+     candidate list, prefetching visit k+1 during visit k) beyond
+     _RESIDENT_W_BYTES — scene size is unbounded.
 
 Gradients flow with NO custom VJP: the kernel only *finds* winner ids
 (integers, detached by construction — the standard differentiable-
@@ -41,13 +42,16 @@ rendering visibility convention), and (t, u, v) are recomputed at the R
 winners by plain-JAX Möller-Trumbore (triangle.hpp:95-115), which JAX
 differentiates w.r.t. triangle records, camera eye, and ray directions.
 This also makes the prebuilt-``clusters`` fast lane fully differentiable:
-the structure is only used for the detached search.
+the structure is only used for the detached search. The kernel's internal
+t is therefore never observable outside winner selection; clearing its low
+mantissa bits only affects tie-breaks among hits within 2^-16 relative.
 """
 
 from __future__ import annotations
 
 import functools
-import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -63,11 +67,17 @@ TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _VALID_CUT = 1.0e37  # entries >= this are padding, never real candidates
 _INV_CLAMP = 1e30
-_PREPASS_TILES = 256  # tiles per chunk in the interval culling prepass
-_M_CAP_FACTOR = 2     # work-list entries per round = factor * n_tiles
 _ULP_PAD = 4e-6       # conservative slab widening (RobustNodeIntersector,
                       # node_intersectors.hpp:54-79: never cull a true hit)
-USE_MXU = False       # MT numerators: VPU broadcast-FMA (exact f32) vs MXU
+# Weight tensors up to this size stay VMEM-resident for the whole kernel;
+# larger scenes switch to the double-buffered HBM streaming path.
+_RESIDENT_W_BYTES = 8 << 20
+
+# "No hit" sentinel whose low mantissa bits are zero (survives the winner
+# key's idx-bit clearing), and its int32 bit pattern.
+_BIG_CLEAN_I = int(np.float32(_BIG).view(np.int32) & ~np.int32(127))
+_BIG_CLEAN = float(np.int32(_BIG_CLEAN_I).view(np.float32))
+_NEG_I = int(np.float32(-1.0).view(np.int32))  # bits of -1.0 (prune killer)
 
 
 def _interpret() -> bool:
@@ -150,13 +160,22 @@ def _hull(cols, alive):
     return jnp.stack(los, axis=-1), jnp.stack(his, axis=-1)
 
 
-def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
-    """Per-tile candidate cluster lists, sorted FRONT TO BACK.
+def _cid_bits(n_c: int) -> int:
+    """Low-bit width reserved for a cluster id in a packed candidate key."""
+    return max(1, (n_c - 1).bit_length())
+
+
+def _tile_candidate_keys(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
+    """Per-tile candidate keys, sorted FRONT TO BACK, as ONE int32 array.
 
     dirs_tiled: 3-tuple of (n_tiles, R) direction columns (origins_tiled
-    likewise). Returns (lists (n_tiles, N_c) int32 with candidate ids
-    first in ascending entry-bound order, entry (n_tiles, N_c) f32
-    matching bounds (+_BIG past count), counts (n_tiles,) int32).
+    likewise). Each candidate is packed as (entry-bound f32 bits with the
+    low cid_bits cleared) | cluster id — the bit pattern of a non-negative
+    f32 is order-isomorphic to the float, so ONE payload-free `jnp.sort`
+    orders candidates by entry bound (clearing low mantissa bits only
+    LOWERS the bound: still a conservative lower bound of any member
+    ray's hit distance). Returns (keys (n_tiles, N_c) int32 ascending,
+    counts (n_tiles,) int32 of real candidates).
     """
     if alive is None:
         alive = (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
@@ -171,9 +190,26 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     # Tiles with no alive rays (all padding / all skipped) get nothing.
     tn = jnp.where(jnp.any(alive, axis=1)[:, None], tn, _BIG)
     counts = jnp.sum(tn < _VALID_CUT, axis=1).astype(jnp.int32)
-    order = jnp.argsort(tn, axis=1, stable=True)
-    lists = order.astype(jnp.int32)
-    entry = jnp.take_along_axis(tn, order, axis=1)
+    n_c = tn.shape[1]
+    cmask = (1 << _cid_bits(n_c)) - 1
+    cid = jax.lax.broadcasted_iota(jnp.int32, tn.shape, 1)
+    keys = (jax.lax.bitcast_convert_type(tn, jnp.int32)
+            & ~jnp.int32(cmask)) | cid
+    return jnp.sort(keys, axis=1), counts
+
+
+def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
+    """Unpacked view of :func:`_tile_candidate_keys` (tests/profiling).
+
+    Returns (lists (n_tiles, N_c) int32 candidate ids in ascending
+    entry-bound order, entry (n_tiles, N_c) f32 bounds (low cid bits
+    cleared; +_BIG past count), counts (n_tiles,) int32).
+    """
+    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, origins_tiled,
+                                        alive)
+    cmask = jnp.int32((1 << _cid_bits(keys.shape[1])) - 1)
+    lists = keys & cmask
+    entry = jax.lax.bitcast_convert_type(keys & ~cmask, jnp.float32)
     return lists, entry, counts
 
 
@@ -216,346 +252,208 @@ def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
 
 
 # ---------------------------------------------------------------------------
-# Phase 2: work-list scheduling (pure JAX)
+# Phase 2: the Pallas walk kernel
 # ---------------------------------------------------------------------------
 
-def _m_cap(n_tiles: int, n_c: int) -> int:
-    """Static per-round work-list budget: ~_M_CAP_FACTOR visits per tile
-    amortizes the compaction over real work; rounds absorb overflow."""
-    return min(max(512, _M_CAP_FACTOR * n_tiles), n_tiles * n_c)
+def _make_walk_kernel(c_size: int, n_feat: int, n_c: int, R: int,
+                      tcap_col: int, any_hit_mode: bool, stream: bool):
+    """One grid step per ray tile: walk the sorted candidate list FRONT TO
+    BACK, early-exiting on the tile prune (see module docstring).
 
-
-def _round_schedule(lists, entry, counts, cursor, prune, m_cap: int):
-    """Compact the live (tile, cluster) pairs into one round's work list.
-
-    A pair (i, k) is live iff cursor_i <= k < counts_i and
-    entry[i, k] <= prune_i; entries are sorted ascending per tile, so the
-    live span is contiguous from the cursor. The first m_cap live pairs in
-    tile-major order are scheduled (tile-major = each tile's kernel output
-    block is visited by one contiguous run of grid steps). Tiles whose
-    live span was exhausted (not quota-truncated) are DONE — the prune
-    only ever decreases, so their remaining entries can never come back.
-
-    Returns (tile_of (M,), cid (M,), entry_m (M,), take (n_tiles,),
-    new_cursor (n_tiles,), scheduled_live_total).
+    Closest mode carries per-ray (t-key, packed winner id) columns; any-hit
+    mode carries an occlusion flag column. All scalar comparisons happen on
+    int32 f32-bit-patterns (order-isomorphic for values >= 0; Mosaic has no
+    scalar bitcast). ``stream=True`` swaps the VMEM-resident weight tensor
+    for double-buffered HBM DMA driven by the candidate list.
     """
-    n_tiles, n_c = entry.shape
-    s = jnp.sum(entry <= prune[:, None], axis=1).astype(jnp.int32)
-    n_live = jnp.clip(s - cursor, 0, counts - cursor)
-    off = jnp.cumsum(n_live) - n_live                       # exclusive
-    take = jnp.clip(m_cap - off, 0, n_live)
-    cum_take = jnp.cumsum(take)
-    total_take = cum_take[-1]
+    ibits = max(1, (c_size - 1).bit_length())
+    imask = (1 << ibits) - 1
+    cmask = (1 << _cid_bits(n_c)) - 1
 
-    m = jnp.arange(m_cap, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(cum_take, m, side="right").astype(jnp.int32)
-    tile_of = jnp.minimum(tile_of, n_tiles - 1)
-    start = cum_take[tile_of] - take[tile_of]
-    slot = jnp.clip(cursor[tile_of] + (m - start), 0, n_c - 1)
-    valid = m < total_take
-    entry_m = jnp.where(valid, entry[tile_of, slot], _BIG)
-    cid = jnp.where(valid, lists[tile_of, slot], 0)
-    new_cursor = jnp.where(take == n_live, counts, cursor + take)
-    return tile_of, cid, entry_m, take, new_cursor, jnp.sum(n_live)
+    def kernel(*refs):
+        if stream:
+            if any_hit_mode:
+                (cnt_ref, key_ref, f_ref, occ0_ref, w_hbm,
+                 out_ref, steps_ref, wbuf, sem) = refs
+            else:
+                (cnt_ref, key_ref, f_ref, w_hbm,
+                 out_ref, steps_ref, wbuf, sem) = refs
+        else:
+            if any_hit_mode:
+                (cnt_ref, key_ref, f_ref, occ0_ref, w_ref,
+                 out_ref, steps_ref) = refs
+            else:
+                cnt_ref, key_ref, f_ref, w_ref, out_ref, steps_ref = refs
+        i = pl.program_id(0)
 
-
-def _pending(entry, counts, cursor, prune):
-    """True if any (tile, cluster) pair is still live for another round."""
-    s = jnp.sum(entry <= prune[:, None], axis=1).astype(jnp.int32)
-    n_live = jnp.clip(s - cursor, 0, counts - cursor)
-    return jnp.sum(n_live) > 0
-
-
-# ---------------------------------------------------------------------------
-# Phase 3: Pallas work-list kernels
-# ---------------------------------------------------------------------------
-
-def _numerators(f, wj, n_feat: int):
-    """All R x C x 4 MT numerators of one (ray tile, cluster) pair.
-
-    f: (R, Kp) per-ray features ([d, 1] or [d, d x o, o, 1], zero-padded);
-    wj: (Kp, 4C) the cluster's weight slab (channels side by side along
-    lanes — the bilinear MT factorization, ceres_tpu.ops.intersect). The
-    contraction depth n_feat is 4 or 10 — far below the MXU's 128-deep
-    systolic passes — so the default path is n_feat broadcast-FMA lane
-    passes on the VPU, exact f32 and ~16x less padded work than an MXU
-    HIGHEST-precision pass.
-    """
-    if USE_MXU:
-        return jnp.dot(f, wj, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    acc = f[:, 0:1] * wj[0:1, :]
-    for k in range(1, n_feat):
-        acc = acc + f[:, k : k + 1] * wj[k : k + 1, :]
-    return acc
-
-
-def _accept_min(nu, nv, nd, nt):
-    """Division-free MT accept: u,v,w,t >= 0 as sign tests on numerators.
-
-    u = nu/det >= 0  <=>  nu * sign(det) >= 0 (det != 0), etc; w's numerator
-    is det - nu - nv. Reproduces the reference's accept set
-    (triangle.hpp:106-110) including its NaN/degenerate rejections, without
-    materializing the divisions.
-    """
-    s = jnp.where(nd >= 0, 1.0, -1.0)
-    m = jnp.minimum(jnp.minimum(nu * s, nv * s),
-                    jnp.minimum((nd - nu - nv) * s, nt * s))
-    return (m >= 0) & (nd != 0)
-
-
-def _make_closest_kernel(c_size: int, n_feat: int):
-    def kernel(tid_ref, cid_ref, entry_ref, f_ref, tcap_ref, t_in_ref,
-               w_ref, t_ref, id_ref, steps_ref, visits_ref, prune_ref):
-        m = pl.program_id(0)
-        first = (m == 0) | (tid_ref[m] != tid_ref[jnp.maximum(m - 1, 0)])
-        tcap = tcap_ref[0, 0, :]
-
-        @pl.when(m == 0)
+        @pl.when(i == 0)
         def _():
             steps_ref[0, 0] = 0
-            visits_ref[0, 0] = 0
 
-        @pl.when(first)
-        def _():
-            t0 = t_in_ref[0, 0, :]
-            t_ref[0, 0, :] = t0
-            id_ref[0, 0, :] = jnp.full_like(id_ref[0, 0, :], -1)
-            prune_ref[0] = jnp.max(jnp.minimum(t0, tcap))
+        count = cnt_ref[0, 0, 0]
+        f = f_ref[0]
+        # Root-exit cap rides a spare (zero-weight) feature column; as int
+        # bits it joins the key-space comparisons directly. Dead rays carry
+        # tcap = -1.0 (negative bits) and never extend the prune.
+        tcap_i = jax.lax.bitcast_convert_type(
+            f[:, tcap_col:tcap_col + 1], jnp.int32)
 
-        e = entry_ref[m]
-        valid = e < _VALID_CUT
-        go = valid & (e <= prune_ref[0])
+        if stream:
+            def start_fetch(k):
+                cid = key_ref[0, 0, jnp.minimum(k, n_c - 1)] & cmask
+                pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                                      sem.at[k % 2]).start()
 
-        @pl.when(go)
-        def _():
-            out = _numerators(f_ref[0], w_ref[0], n_feat)   # (R, 4C)
-            nu = out[:, :c_size]
-            nv = out[:, c_size : 2 * c_size]
-            nd = out[:, 2 * c_size : 3 * c_size]
-            nt = out[:, 3 * c_size :]
-            acc = _accept_min(nu, nv, nd, nt)               # implies t >= 0
-            inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
-            tpair = jnp.where(acc, nt * inv, _BIG)
-            t_min = jnp.min(tpair, axis=1)                  # (R,)
-            t_c = t_ref[0, 0, :]
-            better = t_min < t_c
-            ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
-            idx = jnp.min(jnp.where(tpair <= t_min[:, None], ids, c_size),
-                          axis=1)
-            t_new = jnp.where(better, t_min, t_c)
-            t_ref[0, 0, :] = t_new
-            id_ref[0, 0, :] = jnp.where(
-                better, cid_ref[m] * c_size + idx, id_ref[0, 0, :])
-            prune_ref[0] = jnp.max(jnp.minimum(t_new, tcap))
+            def wait_fetch(k):
+                cid = key_ref[0, 0, jnp.minimum(k, n_c - 1)] & cmask
+                pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                                      sem.at[k % 2]).wait()
 
-        steps_ref[0, 0] += valid.astype(jnp.int32)
-        visits_ref[0, 0] += go.astype(jnp.int32)
+            @pl.when(count > 0)
+            def _():
+                start_fetch(0)
+
+        def cond(state):
+            k, prune_i = state[0], state[1]
+            # The key's low cid bits only raise it past the pure entry
+            # bound; the +256 prune pad dominates them.
+            key_k = key_ref[0, 0, jnp.minimum(k, n_c - 1)]
+            return (k < count) & (key_k <= prune_i)
+
+        def mt_accept(wj):
+            """All R x C MT numerators of this cluster; sign-test accept."""
+            acc = f[:, 0:1] * wj[0:1, :]
+            for q in range(1, n_feat):
+                acc = acc + f[:, q:q + 1] * wj[q:q + 1, :]
+            nu = acc[:, :c_size]
+            nv = acc[:, c_size:2 * c_size]
+            nd = acc[:, 2 * c_size:3 * c_size]
+            nt = acc[:, 3 * c_size:]
+            s = jnp.where(nd >= 0, 1.0, -1.0)
+            m = jnp.minimum(jnp.minimum(nu * s, nv * s),
+                            jnp.minimum((nd - nu - nv) * s, nt * s))
+            ok = (m >= 0) & (nd != 0)   # t >= 0 implied (nt*s >= 0)
+            return ok, nd, nt
+
+        def fetch_weights(k, state_tail):
+            if stream:
+                @pl.when(k + 1 < count)
+                def _():
+                    start_fetch(k + 1)
+                wait_fetch(k)
+                return wbuf[k % 2]
+            return w_ref[key_ref[0, 0, k] & cmask]
+
+        if any_hit_mode:
+            def body(state):
+                k, prune_i, occ = state
+                wj = fetch_weights(k, state)
+                ok, _, _ = mt_accept(wj)
+                occ = occ | jnp.max(jnp.where(ok, 1, 0), axis=1,
+                                    keepdims=True)
+                prune_i = jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i)) + 256
+                return k + 1, prune_i, occ
+
+            occ0 = occ0_ref[0]
+            prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
+            state = jax.lax.while_loop(cond, body, (0, prune0, occ0))
+            k, _, occ = state
+            out_ref[0] = occ
+        else:
+            def body(state):
+                k, prune_i, t_i, pid = state
+                cid = key_ref[0, 0, k] & cmask
+                wj = fetch_weights(k, state)
+                ok, nd, nt = mt_accept(wj)
+                inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
+                tpair = jnp.where(ok, nt * inv, _BIG_CLEAN)
+                ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
+                keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
+                         & ~imask) | ids)
+                kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE reduction
+                t_new = kmin & ~imask
+                better = t_new < t_i
+                t_i = jnp.where(better, t_new, t_i)
+                pid = jnp.where(better, cid * c_size + (kmin & imask), pid)
+                prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
+                return k + 1, prune_i, t_i, pid
+
+            t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
+            pid0 = jnp.full((R, 1), -1, jnp.int32)
+            prune0 = jnp.max(tcap_i) + 256
+            state = jax.lax.while_loop(cond, body, (0, prune0, t0, pid0))
+            k, _, _, pid = state
+            out_ref[0] = pid
+        if stream:
+            # Drain the in-flight prefetch a prune early-exit left behind
+            # (the warmup fetch when the loop never ran, or the k-th fetch
+            # issued by body(k-1)).
+            @pl.when(k < count)
+            def _():
+                wait_fetch(k)
+        steps_ref[0, 0] += k
 
     return kernel
 
 
-def _make_any_kernel(c_size: int, n_feat: int):
-    def kernel(tid_ref, cid_ref, entry_ref, f_ref, tcap_ref, occ_in_ref,
-               w_ref, occ_ref, steps_ref, visits_ref, prune_ref):
-        m = pl.program_id(0)
-        first = (m == 0) | (tid_ref[m] != tid_ref[jnp.maximum(m - 1, 0)])
-        tcap = tcap_ref[0, 0, :]
+@functools.partial(jax.jit, static_argnames=("n_feat", "tcap_col",
+                                             "any_hit_mode", "stream",
+                                             "interpret"))
+def _walk_pallas(counts, keys, feats, w, occ0=None, *, n_feat, tcap_col,
+                 any_hit_mode, stream, interpret):
+    """Launch the walk kernel over all tiles. Returns (out, steps).
 
-        @pl.when(m == 0)
-        def _():
-            steps_ref[0, 0] = 0
-            visits_ref[0, 0] = 0
-
-        @pl.when(first)
-        def _():
-            o0 = occ_in_ref[0, 0, :]
-            occ_ref[0, 0, :] = o0
-            prune_ref[0] = jnp.max(jnp.where(o0 == 1, -1.0, tcap))
-
-        e = entry_ref[m]
-        valid = e < _VALID_CUT
-        go = valid & (e <= prune_ref[0])
-
-        @pl.when(go)
-        def _():
-            out = _numerators(f_ref[0], w_ref[0], n_feat)
-            nu = out[:, :c_size]
-            nv = out[:, c_size : 2 * c_size]
-            nd = out[:, 2 * c_size : 3 * c_size]
-            nt = out[:, 3 * c_size :]
-            acc = _accept_min(nu, nv, nd, nt)
-            hit_any = jnp.any(acc, axis=1).astype(jnp.int32)
-            occ_new = occ_ref[0, 0, :] | hit_any
-            occ_ref[0, 0, :] = occ_new
-            prune_ref[0] = jnp.max(jnp.where(occ_new == 1, -1.0, tcap))
-
-        steps_ref[0, 0] += valid.astype(jnp.int32)
-        visits_ref[0, 0] += go.astype(jnp.int32)
-
-    return kernel
-
-
-def _wl_grid_spec(m_cap, Kp, C4, n_state_out):
-    """The shared work-list grid: one step per (tile, cluster) pair.
-
-    Scalar-prefetched tile/cluster ids drive every block index map, so the
-    pipeline streams per-step blocks (HBM -> VMEM, double-buffered) with
-    no scalar stalls; tile-major ordering keeps each tile's blocks VMEM-
-    resident across its contiguous run of steps.
+    out is (n_tiles, R, 1) int32 — packed winner slot ids (closest mode,
+    -1 = miss) or occlusion flags (any-hit mode). steps is the MEASURED
+    total of executed cluster visits (the Statistics capability,
+    single_ray_traverser.hpp:131-163).
     """
-    vmem_out = pl.BlockSpec(
-        (1, 1, TILE), lambda m, tid, cid, ent: (tid[m], 0, 0),
-        memory_space=pltpu.VMEM)
-    smem_out = pl.BlockSpec((1, 1), lambda m, tid, cid, ent: (0, 0),
-                            memory_space=pltpu.SMEM)
-    return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # tile ids, cluster ids, entry bounds
-        grid=(m_cap,),
-        in_specs=[
-            pl.BlockSpec((1, TILE, Kp),
-                         lambda m, tid, cid, ent: (tid[m], 0, 0),
-                         memory_space=pltpu.VMEM),            # ray features
-            pl.BlockSpec((1, 1, TILE),
-                         lambda m, tid, cid, ent: (tid[m], 0, 0),
-                         memory_space=pltpu.VMEM),            # root-exit cap
-            pl.BlockSpec((1, 1, TILE),
-                         lambda m, tid, cid, ent: (tid[m], 0, 0),
-                         memory_space=pltpu.VMEM),            # carried state
-            pl.BlockSpec((1, Kp, C4),
-                         lambda m, tid, cid, ent: (cid[m], 0, 0),
-                         memory_space=pltpu.VMEM),            # weight slab
-        ],
-        out_specs=[vmem_out] * n_state_out + [smem_out, smem_out],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("n_feat", "interpret"))
-def _closest_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, t_in,
-                          w, n_feat, interpret):
     n_tiles, R, Kp = feats.shape
-    m_cap = tile_ids.shape[0]
-    C4 = w.shape[2]
+    n_c, _, C4 = w.shape
+    in_specs = [
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [counts[:, None, None], keys[:, None, :], feats]
+    if any_hit_mode:
+        in_specs.append(pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(occ0)
+    in_specs.append(
+        pl.BlockSpec(memory_space=pl.ANY) if stream else
+        pl.BlockSpec((n_c, Kp, C4), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    args.append(w)
     return pl.pallas_call(
-        _make_closest_kernel(C4 // 4, n_feat),
-        grid_spec=_wl_grid_spec(m_cap, Kp, C4, n_state_out=2),
+        _make_walk_kernel(C4 // 4, n_feat, n_c, R, tcap_col, any_hit_mode,
+                          stream),
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=([pltpu.VMEM((2, Kp, C4), jnp.float32),
+                             pltpu.SemaphoreType.DMA((2,))] if stream
+                            else []),
+        ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, R, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_ids, cluster_ids, entry_m, feats, tcap, t_in, w)
+    )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("n_feat", "interpret"))
-def _any_round_pallas(tile_ids, cluster_ids, entry_m, feats, tcap, occ_in,
-                      w, n_feat, interpret):
-    n_tiles, R, Kp = feats.shape
-    m_cap = tile_ids.shape[0]
-    C4 = w.shape[2]
-    return pl.pallas_call(
-        _make_any_kernel(C4 // 4, n_feat),
-        grid_spec=_wl_grid_spec(m_cap, Kp, C4, n_state_out=1),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 1, R), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(tile_ids, cluster_ids, entry_m, feats, tcap, occ_in, w)
-
-
-# ---------------------------------------------------------------------------
-# Drivers: round loops
-# ---------------------------------------------------------------------------
-
-def _max_rounds(n_tiles: int, n_c: int, m_cap: int) -> int:
-    return int(math.ceil((n_tiles * n_c) / m_cap)) + 1
-
-
-def _closest_rounds(w, feats_tiled, tcap_tiled, lists, entry, counts,
-                    n_feat: int):
-    """Run scheduling rounds until no (tile, cluster) pair is live.
-
-    Returns (t (n_tiles, 1, R), packed ids (n_tiles, 1, R), steps, visits).
-    """
-    n_tiles, n_c = entry.shape
-    R = feats_tiled.shape[1]
-    m_cap = _m_cap(n_tiles, n_c)
-    interp = _interpret()
-
-    def tile_prune(t):
-        return jnp.max(jnp.minimum(t[:, 0, :], tcap_tiled[:, 0, :]), axis=1)
-
-    def body(state):
-        cursor, t, pid, steps, visits, _, rnd = state
-        prune = tile_prune(t)
-        tid, cid, entry_m, take, cursor, _ = _round_schedule(
-            lists, entry, counts, cursor, prune, m_cap)
-        t_r, id_r, s, v = _closest_round_pallas(
-            tid, cid, entry_m, feats_tiled, tcap_tiled, t, w, n_feat, interp)
-        touched = (take > 0)[:, None, None]
-        better = touched & (t_r < t)
-        t = jnp.where(better, t_r, t)
-        pid = jnp.where(better, id_r, pid)
-        pend = _pending(entry, counts, cursor, tile_prune(t))
-        return (cursor, t, pid, steps + s[0, 0], visits + v[0, 0], pend,
-                rnd + 1)
-
-    def cond(state):
-        _, _, _, _, _, pend, rnd = state
-        return pend & (rnd < _max_rounds(n_tiles, n_c, m_cap))
-
-    state = (jnp.zeros((n_tiles,), jnp.int32),
-             jnp.full((n_tiles, 1, R), _BIG, jnp.float32),
-             jnp.full((n_tiles, 1, R), -1, jnp.int32),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(True), jnp.asarray(0, jnp.int32))
-    state = body(state)                       # round 0 always runs
-    state = jax.lax.while_loop(cond, body, state)
-    _, t, pid, steps, visits, _, _ = state
-    return t, pid, steps, visits
-
-
-def _any_rounds(w, feats_tiled, tcap_tiled, occ0, lists, entry, counts,
-                n_feat: int):
-    """Occlusion rounds; occ0 (n_tiles, 1, R) int32 (1 = resolved/skip)."""
-    n_tiles, n_c = entry.shape
-    m_cap = _m_cap(n_tiles, n_c)
-    interp = _interpret()
-
-    def tile_prune(occ):
-        return jnp.max(jnp.where(occ[:, 0, :] == 1, -1.0,
-                                 tcap_tiled[:, 0, :]), axis=1)
-
-    def body(state):
-        cursor, occ, steps, visits, _, rnd = state
-        prune = tile_prune(occ)
-        tid, cid, entry_m, take, cursor, _ = _round_schedule(
-            lists, entry, counts, cursor, prune, m_cap)
-        occ_r, s, v = _any_round_pallas(
-            tid, cid, entry_m, feats_tiled, tcap_tiled, occ, w, n_feat,
-            interp)
-        touched = (take > 0)[:, None, None]
-        occ = jnp.where(touched, occ_r, occ)
-        pend = _pending(entry, counts, cursor, tile_prune(occ))
-        return (cursor, occ, steps + s[0, 0], visits + v[0, 0], pend,
-                rnd + 1)
-
-    def cond(state):
-        _, _, _, _, pend, rnd = state
-        return pend & (rnd < _max_rounds(n_tiles, n_c, m_cap))
-
-    state = (jnp.zeros((n_tiles,), jnp.int32), occ0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(True), jnp.asarray(0, jnp.int32))
-    state = body(state)
-    state = jax.lax.while_loop(cond, body, state)
-    _, occ, steps, visits, _, _ = state
-    return occ, steps, visits
+def _use_stream(w) -> bool:
+    return w.size * 4 > _RESIDENT_W_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -590,10 +488,17 @@ def _cols(x):
     return (x[..., 0], x[..., 1], x[..., 2])
 
 
-def _feats_from_cols(cols, kp):
-    """Per-ray feature columns -> (R, kp): [cols..., 1, zero padding]."""
+def _feats_from_cols(cols, kp, tcap=None):
+    """Per-ray feature columns -> (R, kp): [cols..., 1, tcap?, zeros...].
+
+    The root-exit cap rides the first spare (zero-weight-row) feature
+    column, saving the kernel a separate input stream; its column index is
+    ``len(cols) + 1`` (returned layout is static per n_feat).
+    """
     R = cols[0].shape[0]
     arrs = list(cols) + [jnp.ones((R,), cols[0].dtype)]
+    if tcap is not None:
+        arrs.append(tcap)
     if kp > len(arrs):
         zero = jnp.zeros((R,), cols[0].dtype)
         arrs.extend([zero] * (kp - len(arrs)))
@@ -630,15 +535,16 @@ def _closest_search(cs, eye, dir_cols):
     hi = cs.hi - eye
     root_lo, root_hi = _scene_root(cs)
     dirs_tiled = tuple(_tile_rays(c, TILE) for c in dir_cols)
-    feats_tiled = _tile_rays(_feats_from_cols(dir_cols, w.shape[1]), TILE)
-    tcap_tiled = _tile_rays(
-        _ray_tcap(root_lo - eye, root_hi - eye, None, dir_cols),
-        TILE)[:, None, :]
-    lists, entry, counts = _tile_cluster_lists(lo, hi, dirs_tiled)
-    _, pidx, steps, visits = _closest_rounds(
-        w, feats_tiled, tcap_tiled, lists, entry, counts, n_feat=4)
+    tcap = _ray_tcap(root_lo - eye, root_hi - eye, None, dir_cols)
+    feats_tiled = _tile_rays(
+        _feats_from_cols(dir_cols, w.shape[1], tcap=tcap), TILE)
+    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled)
+    pidx, steps = _walk_pallas(
+        counts, keys, feats_tiled, w, n_feat=4, tcap_col=4,
+        any_hit_mode=False, stream=_use_stream(w), interpret=_interpret())
+    steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
-                                  "mt_block_visits": visits}
+                                  "mt_block_visits": steps}
 
 
 def _winner_tuv(rec, eye, dir_cols):
@@ -707,9 +613,10 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     ``payload`` ((T, P) per-triangle rows, e.g. shading normals) rides the
     winner gather: returns (hit, payload_rows (R, P)) with zero rows at
     misses. ``with_counts=True`` additionally returns the traversal
-    counters (actual kernel work-list steps and prune-gated MT block
-    executions) — the SingleRayTraverser::Statistics capability
-    (single_ray_traverser.hpp:131-163), measured, not scheduled.
+    counters (MEASURED walk-loop cluster visits — early exits included,
+    so steps == executed MT blocks) — the SingleRayTraverser::Statistics
+    capability (single_ray_traverser.hpp:131-163), measured, not
+    scheduled.
     """
     dir_cols = _cols(dirs)
     cs = clusters
@@ -770,21 +677,21 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     dxo = (d_cols[1] * o[2] - d_cols[2] * o[1],
            d_cols[2] * o[0] - d_cols[0] * o[2],
            d_cols[0] * o[1] - d_cols[1] * o[0])
-    feats_tiled = _tile_rays(
-        _feats_from_cols(d_cols + dxo + o, w.shape[1]), TILE)
-    tcap_tiled = _tile_rays(
-        _ray_tcap(root_lo - shift, root_hi - shift, o, d_cols),
-        TILE)[:, None]
-    occ0 = _tile_rays(skip.astype(jnp.int32), TILE)[:, None, :]
     # Padding rays are not skipped but have zero dirs -> tcap = -1, so they
     # never extend a tile's prune and never resolve to occluded.
-    lists, entry, counts = _tile_cluster_lists(lo, hi, dirs_tiled,
-                                               orig_tiled, alive)
-    occ, steps, visits = _any_rounds(
-        w, feats_tiled, tcap_tiled, occ0, lists, entry, counts, n_feat=10)
+    tcap = _ray_tcap(root_lo - shift, root_hi - shift, o, d_cols)
+    feats_tiled = _tile_rays(
+        _feats_from_cols(d_cols + dxo + o, w.shape[1], tcap=tcap), TILE)
+    occ0 = _tile_rays(skip.astype(jnp.int32), TILE)[..., None]
+    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, orig_tiled,
+                                        alive)
+    occ, steps = _walk_pallas(
+        counts, keys, feats_tiled, w, occ0, n_feat=10, tcap_col=10,
+        any_hit_mode=True, stream=_use_stream(w), interpret=_interpret())
+    steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:
-        cnts = {"traversal_steps": steps, "mt_block_visits": visits,
-                "mt_pairs": visits * TILE * cs.cluster_size}
+        cnts = {"traversal_steps": steps, "mt_block_visits": steps,
+                "mt_pairs": steps * TILE * cs.cluster_size}
         return result, cnts
     return result

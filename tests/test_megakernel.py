@@ -153,13 +153,13 @@ class TestRenderBackendEquivalence:
                                    atol=3e-6 * np.abs(gb).max())
 
 
-class TestMultiRoundScheduling:
-    """The beyond-VMEM mechanism: when one round's work-list budget cannot
-    cover the live (tile, cluster) set, further scheduling rounds must
-    produce a pixel-identical image (the round loop re-culls against the
-    improved prune and resumes from each tile's cursor)."""
+class TestWeightStreaming:
+    """The beyond-VMEM mechanism: forcing the double-buffered HBM weight
+    streaming path (normally taken only when the weight tensor exceeds
+    _RESIDENT_W_BYTES) must produce a pixel-identical image to the
+    VMEM-resident kernel."""
 
-    def test_multi_round_matches_single_round(self, bunny, monkeypatch):
+    def test_streamed_matches_resident(self, bunny, monkeypatch):
         import numpy as np
 
         from ceres_tpu.ops import megakernel as mk
@@ -172,9 +172,8 @@ class TestMultiRoundScheduling:
         ref, ref_stats = render(scene.vertices, scene.faces, scene.camera,
                                 scene.sun, config=cfg)
         ref = np.asarray(ref)
-        # Starve the per-round budget so every wavefront needs many rounds
-        # (48x48 -> 5 tiles; bunny treelet cut -> tens of clusters live).
-        monkeypatch.setattr(mk, "_M_CAP_FACTOR", 1)
+        # Force every wavefront onto the streaming kernel.
+        monkeypatch.setattr(mk, "_RESIDENT_W_BYTES", 0)
         import jax
 
         jax.clear_caches()  # jit keys don't see module globals: force retrace
@@ -185,6 +184,6 @@ class TestMultiRoundScheduling:
             hits = int(stats["hits"])
         finally:
             monkeypatch.undo()
-            jax.clear_caches()  # drop executables traced with the tiny cap
+            jax.clear_caches()  # drop executables traced with streaming on
         np.testing.assert_array_equal(img, ref)
         assert hits == int(ref_stats["hits"])
