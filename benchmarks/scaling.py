@@ -20,6 +20,86 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _spawn_distributed(args) -> int:
+    """Launch N coordinator-joined worker copies of this script."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--devices", str(args.devices), "--width", str(args.width),
+             "--height", str(args.height), "--reps", str(args.reps),
+             "--backend", args.backend,
+             "--_worker", coordinator, str(args.distributed), str(pid)],
+            env=env)
+        for pid in range(args.distributed)
+    ]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
+def _distributed_worker(args) -> int:
+    """One process of the multi-process measurement (prints on pid 0)."""
+    from ceres_tpu.parallel import distributed
+
+    coordinator, num_procs, pid = (args._worker[0], int(args._worker[1]),
+                                   int(args._worker[2]))
+    distributed.initialize(coordinator, num_procs, pid,
+                           local_device_count=args.devices, cpu=True)
+    import jax
+    import numpy as np
+
+    from ceres_tpu.io.obj import load_obj
+    from ceres_tpu.models.camera import Camera
+    from ceres_tpu.parallel.distributed import global_mesh
+    from ceres_tpu.parallel.sharded import render_sharded
+    from ceres_tpu.render.scenes import bunny_path
+
+    verts, faces = load_obj(bunny_path())
+    eye = np.asarray([0.0, 0.1, -0.3], np.float32)
+    camera = Camera.make(eye=eye, dir=verts.mean(axis=0) - eye,
+                         up=(0, 1, 0), fov=60.0)
+    sun = np.asarray([-50.0, 100.0, 0.0], np.float32)
+    mesh = global_mesh()
+
+    def run():
+        img, stats = render_sharded(
+            verts, faces, camera, sun, mesh=mesh, width=args.width,
+            height=args.height, mode="smooth", backend=args.backend)
+        jax.block_until_ready(img)
+        return stats
+
+    stats = run()  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        stats = run()
+    dt = (time.perf_counter() - t0) / args.reps
+    if pid == 0:
+        print(json.dumps({
+            "metric": "rays_per_sec_distributed",
+            "processes": num_procs,
+            "devices_per_process": args.devices,
+            "value": round(float(stats["rays"]) / dt, 1),
+            "unit": "rays/s",
+            "note": ("CPU processes share one core pool: validates the "
+                     "multi-host path, not parallel speedup"),
+        }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
@@ -30,7 +110,19 @@ def main() -> int:
     ap.add_argument("--tpu", action="store_true",
                     help="use the attached TPU devices instead of forcing "
                          "a virtual CPU mesh")
+    ap.add_argument("--distributed", type=int, default=0, metavar="N",
+                    help="spawn N real OS processes joined by "
+                         "jax.distributed (CPU backend, --devices virtual "
+                         "devices EACH) and measure the cross-process "
+                         "sharded render — the multi-host code path")
+    ap.add_argument("--_worker", nargs=3, default=None,
+                    help=argparse.SUPPRESS)  # coordinator num_procs pid
     args = ap.parse_args()
+
+    if args.distributed and args._worker is None:
+        return _spawn_distributed(args)
+    if args._worker is not None:
+        return _distributed_worker(args)
 
     if not args.tpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

@@ -84,11 +84,42 @@ def _render_rows(verts, faces, camera, sun, row0, h_local, config,
     return color.reshape(h_local, config.width, 3), stats
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+def _global_arrays(mesh, row0_np, replicated):
+    """Promote shard_map inputs to GLOBAL arrays for multi-process meshes.
+
+    Single-process meshes accept host-local arrays directly; a mesh that
+    spans processes (multi-host) needs the row-offset input materialized
+    as a global array (each process contributes its addressable shards)
+    and the replicated inputs device_put with an explicit replicated
+    sharding. No-op on single-process runs.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    tracing = any(isinstance(x, jax.core.Tracer)
+                  for x in jax.tree.leaves(replicated))
+    if jax.process_count() == 1 or tracing:
+        # Inside a jit trace everything is already a global SPMD value;
+        # materializing concrete global arrays there would close over
+        # non-addressable data. Only EAGER multi-process calls need the
+        # explicit promotion.
+        return jnp.asarray(row0_np), replicated
+    sh = NamedSharding(mesh, P("rays"))
+    row0 = jax.make_array_from_callback(
+        row0_np.shape, sh, lambda idx: np.ascontiguousarray(row0_np[idx]))
+    rep = NamedSharding(mesh, P())
+    replicated = jax.tree.map(lambda x: jax.device_put(x, rep), replicated)
+    return row0, replicated
+
+
 def _render_sharded_jit(vertices, faces, camera, sun, config, mesh):
+    import numpy as np
+
     n = mesh.shape["rays"]
     h_local = _pad_rows(config.height, n)
-    row0 = jnp.arange(n, dtype=vertices.dtype) * h_local  # (n,)
+    row0_np = (np.arange(n) * h_local).astype(vertices.dtype)
+    row0, (vertices, faces, camera, sun) = _global_arrays(
+        mesh, row0_np, (vertices, faces, camera, sun))
 
     @functools.partial(
         jax.shard_map,
