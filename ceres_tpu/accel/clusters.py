@@ -172,6 +172,46 @@ def build_clusters_treelet(soup: TriangleSoup,
                       perm=perm)
 
 
+def refit_clusters(clusters: ClusterSet, soup: TriangleSoup) -> ClusterSet:
+    """Refit an existing cluster structure to MOVED vertices.
+
+    The HierarchyRefitter capability (hierarchy_refitter.hpp:10-46) mapped
+    to the flattened 2-level structure: the treelet CUT (``perm``) is kept
+    from a previous build and only the per-triangle records and cluster
+    AABBs are recomputed — one gather + one segmented min/max instead of
+    the full LBVH build. The animation fast path for deforming geometry
+    (the reference refits instead of rebuilding for the same reason);
+    box quality degrades gracefully as the deformation grows, correctness
+    never does (boxes stay exact bounds of their member triangles).
+    Differentiable w.r.t. the new soup, like the builders.
+    """
+    perm = clusters.perm
+    n_c, C = clusters.num_clusters, clusters.cluster_size
+    gather_idx = jnp.clip(perm, 0)
+    valid = perm >= 0
+
+    def pack(x):
+        g = jnp.where(valid[:, None], x[gather_idx], 0.0)
+        return g.reshape(n_c, C, 3)
+
+    p0 = pack(soup.p0)
+    e1 = pack(soup.e1)
+    e2 = pack(soup.e2)
+    n = pack(soup.n)
+    p1 = p0 - e1
+    p2 = p0 + e2
+    pts = jnp.stack([p0, p1, p2], axis=2)
+    tri_lo = pts.min(axis=2)
+    tri_hi = pts.max(axis=2)
+    vmask = valid.reshape(n_c, C)[..., None]
+    lo = jnp.where(vmask, tri_lo, jnp.inf).min(axis=1)
+    hi = jnp.where(vmask, tri_hi, -jnp.inf).max(axis=1)
+    return ClusterSet(p0=p0, e1=e1, e2=e2, n=n,
+                      lo=jax.lax.stop_gradient(lo),
+                      hi=jax.lax.stop_gradient(hi),
+                      perm=perm)
+
+
 def cluster_weights_common_origin(clusters: ClusterSet, origin: jax.Array) -> jax.Array:
     """MT weight tensor for common-origin rays: (N_c, 4, C, 4) = (ch, tri, K).
 

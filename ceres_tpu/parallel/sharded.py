@@ -250,6 +250,88 @@ def render_frames_sharded(
                               frame_transforms, config, mesh, num_frames)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "refit"))
+def _render_deforming_jit(vertices_frames, faces, camera, sun, config, mesh,
+                          refit):
+    """Per-frame DEFORMING vertices; frames sequential, rows over "rays"."""
+    nr = mesh.shape["rays"]
+    h_local = _pad_rows(config.height, nr)
+    row0 = jnp.arange(nr, dtype=vertices_frames.dtype) * h_local
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rays")),
+        out_specs=(P(None, "rays"), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    def fn(vframes, faces_, cam, sun_, row0_shard):
+        from ceres_tpu.accel import clusters as cl
+
+        # The treelet CUT is built once, on frame 0; every later frame
+        # only REFITS it to the moved vertices (record gather + segmented
+        # box min/max) — the HierarchyRefitter capability
+        # (hierarchy_refitter.hpp:10-46) instead of a per-frame rebuild.
+        soup0 = triangle_soup(vframes[0], faces_,
+                              with_normals=config.mode == "smooth")
+        cs0 = cl.build_clusters_treelet(
+            jax.tree.map(jax.lax.stop_gradient, soup0))
+
+        def one_frame(verts_f):
+            soup_f = triangle_soup(verts_f, faces_,
+                                   with_normals=config.mode == "smooth")
+            if refit:
+                cs_f = cl.refit_clusters(
+                    cs0, jax.tree.map(jax.lax.stop_gradient, soup_f))
+            else:
+                cs_f = cl.build_clusters_treelet(
+                    jax.tree.map(jax.lax.stop_gradient, soup_f))
+            return _render_rows(verts_f, faces_, cam, sun_, row0_shard[0],
+                                h_local, config, soup=soup_f,
+                                clusters=cs_f)
+
+        colors, stats = jax.lax.map(one_frame, vframes)
+        stats = jax.tree.map(
+            lambda x: jax.lax.psum(jnp.sum(x), ("frames", "rays")), stats)
+        return colors, stats
+
+    frames, stats = fn(vertices_frames, faces, camera, sun, row0)
+    return frames[:, :config.height], stats
+
+
+def render_deforming_frames(
+    vertices_frames,          # (F, V, 3): per-frame vertex positions
+    faces,
+    camera: Camera,
+    sun_position,
+    config: Optional[RenderConfig] = None,
+    mesh: Optional[Mesh] = None,
+    refit: bool = True,
+    **kwargs,
+):
+    """Animation with DEFORMING geometry: per-frame vertex tracks.
+
+    The acceleration structure's treelet cut is built once on frame 0 and
+    refitted per frame (``refit=True``, the fast path — boxes stay exact
+    bounds, only their tightness degrades with large deformations);
+    ``refit=False`` rebuilds per frame for comparison. Rays shard over the
+    mesh's "rays" axis. Returns ((F, H, W, 3), stats).
+    """
+    import dataclasses
+
+    config = dataclasses.replace(config or RenderConfig(), **kwargs)
+    if mesh is None:
+        mesh = device_mesh()
+    vertices_frames = jnp.asarray(vertices_frames)
+    faces = jnp.asarray(faces)
+    sun_position = jnp.asarray(sun_position, vertices_frames.dtype)
+    if config.backend != "megakernel":
+        raise ValueError("render_deforming_frames requires the megakernel "
+                         "backend (the refit path refits its clusters)")
+    return _render_deforming_jit(vertices_frames, faces, camera,
+                                 sun_position, config, mesh, refit)
+
+
 def turntable_transforms(num_frames: int, axis=(0.0, 1.0, 0.0),
                          dtype=jnp.float32) -> Transform:
     """The anim app's camera path: frame i rotates by i * 360/N degrees
