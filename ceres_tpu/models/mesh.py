@@ -135,3 +135,33 @@ def soup_from_points(p0: jax.Array, p1: jax.Array, p2: jax.Array) -> TriangleSou
     e1 = p0 - p1
     e2 = p2 - p0
     return TriangleSoup(p0=p0, e1=e1, e2=e2, n=jnp.cross(e1, e2))
+
+
+def subdivide(vertices, faces, levels: int = 1):
+    """Midpoint (1 -> 4) subdivision of an indexed mesh, ``levels`` times.
+
+    Large-scene generator for the streaming benchmarks (the reference has
+    no subdivision; its largest asset is the 23k-triangle dragon). Shared
+    edges get shared midpoints, so the surface stays watertight. NumPy
+    host-side (scene prep, like OBJ loading).
+    """
+    import numpy as np
+
+    v = np.asarray(vertices)
+    f = np.asarray(faces)
+    for _ in range(levels):
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges_sorted = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges_sorted, axis=0, return_inverse=True)
+        mids = 0.5 * (v[uniq[:, 0]] + v[uniq[:, 1]])
+        m01 = inv[:len(f)] + len(v)
+        m12 = inv[len(f):2 * len(f)] + len(v)
+        m20 = inv[2 * len(f):] + len(v)
+        v = np.concatenate([v, mids])
+        f = np.concatenate([
+            np.stack([f[:, 0], m01, m20], 1),
+            np.stack([m01, f[:, 1], m12], 1),
+            np.stack([m20, m12, f[:, 2]], 1),
+            np.stack([m01, m12, m20], 1),
+        ]).astype(f.dtype)
+    return v.astype(np.asarray(vertices).dtype), f
