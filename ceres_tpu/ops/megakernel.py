@@ -62,7 +62,8 @@ from ceres_tpu.accel import clusters as cl
 from ceres_tpu.models.mesh import TriangleSoup
 from ceres_tpu.ops.intersect import Hit
 
-TILE = 512         # rays per grid step (= one 16 x 32 pixel block)
+TILE = 512         # rays per culling tile (= one 16 x 32 pixel block)
+_GROUP_TILES = 8   # tiles walked per Pallas grid step (fixed-cost amortizer)
 
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _VALID_CUT = 1.0e37  # entries >= this are padding, never real candidates
@@ -255,10 +256,14 @@ def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
 # Phase 2: the Pallas walk kernel
 # ---------------------------------------------------------------------------
 
-def _make_walk_kernel(c_size: int, n_feat: int, n_c: int, R: int,
+def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                       tcap_col: int, any_hit_mode: bool, stream: bool):
-    """One grid step per ray tile: walk the sorted candidate list FRONT TO
-    BACK, early-exiting on the tile prune (see module docstring).
+    """One grid step per GROUP of G ray tiles: walk each tile's sorted
+    candidate list FRONT TO BACK, early-exiting on the tile prune (see
+    module docstring). Grouping amortizes Mosaic's fixed per-grid-step
+    cost (~2 us measured: block bookkeeping + DMA descriptor setup) over
+    G tiles — at 1080p that fixed cost alone was ~8 ms/frame per
+    wavefront with one tile per step.
 
     Closest mode carries per-ray (t-key, packed winner id) columns; any-hit
     mode carries an occlusion flag column. All scalar comparisons happen on
@@ -290,137 +295,181 @@ def _make_walk_kernel(c_size: int, n_feat: int, n_c: int, R: int,
         def _():
             steps_ref[0, 0] = 0
 
-        count = cnt_ref[0, 0, 0]
-        f = f_ref[0]
-        # Root-exit cap rides a spare (zero-weight) feature column; as int
-        # bits it joins the key-space comparisons directly. Dead rays carry
-        # tcap = -1.0 (negative bits) and never extend the prune.
-        tcap_i = jax.lax.bitcast_convert_type(
-            f[:, tcap_col:tcap_col + 1], jnp.int32)
+        total = 0
+        for g in range(G):     # static unroll over the group's tiles
+            count = cnt_ref[0, 0, g]
+            # Feature block is CHANNEL-FIRST (Kp, G * R): rays ride the
+            # dense lane axis. The (R, Kp) form would make XLA pad
+            # Kp -> 128 lanes, and a 1080p frame's feats tensor balloons
+            # 16x to ~1 GB of HBM traffic (measured 13-24 ms/frame of
+            # pure concatenate before this layout).
+            f = f_ref[:, g * R:(g + 1) * R]
+            # Root-exit cap rides a spare (zero-weight) feature row; as
+            # int bits it joins the key-space comparisons directly. Dead
+            # rays carry tcap = -1.0 (negative bits) and never extend the
+            # prune. One (1, R) -> (R, 1) relayout per tile, not per
+            # visit.
+            tcap_i = jax.lax.bitcast_convert_type(
+                f[tcap_col:tcap_col + 1, :].reshape(R, 1), jnp.int32)
 
-        if stream:
-            def start_fetch(k):
-                cid = key_ref[0, 0, jnp.minimum(k, n_c - 1)] & cmask
-                pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
-                                      sem.at[k % 2]).start()
-
-            def wait_fetch(k):
-                cid = key_ref[0, 0, jnp.minimum(k, n_c - 1)] & cmask
-                pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
-                                      sem.at[k % 2]).wait()
-
-            @pl.when(count > 0)
-            def _():
-                start_fetch(0)
-
-        def cond(state):
-            k, prune_i = state[0], state[1]
-            # The key's low cid bits only raise it past the pure entry
-            # bound; the +256 prune pad dominates them.
-            key_k = key_ref[0, 0, jnp.minimum(k, n_c - 1)]
-            return (k < count) & (key_k <= prune_i)
-
-        def mt_accept(wj):
-            """All R x C MT numerators of this cluster; sign-test accept."""
-            acc = f[:, 0:1] * wj[0:1, :]
-            for q in range(1, n_feat):
-                acc = acc + f[:, q:q + 1] * wj[q:q + 1, :]
-            nu = acc[:, :c_size]
-            nv = acc[:, c_size:2 * c_size]
-            nd = acc[:, 2 * c_size:3 * c_size]
-            nt = acc[:, 3 * c_size:]
-            s = jnp.where(nd >= 0, 1.0, -1.0)
-            m = jnp.minimum(jnp.minimum(nu * s, nv * s),
-                            jnp.minimum((nd - nu - nv) * s, nt * s))
-            ok = (m >= 0) & (nd != 0)   # t >= 0 implied (nt*s >= 0)
-            return ok, nd, nt
-
-        def fetch_weights(k, state_tail):
             if stream:
-                @pl.when(k + 1 < count)
+                def start_fetch(k):
+                    cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
+                    pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                                          sem.at[k % 2]).start()
+
+                def wait_fetch(k):
+                    cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
+                    pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                                          sem.at[k % 2]).wait()
+
+                @pl.when(count > 0)
                 def _():
-                    start_fetch(k + 1)
-                wait_fetch(k)
-                return wbuf[k % 2]
-            return w_ref[key_ref[0, 0, k] & cmask]
+                    start_fetch(0)
 
-        if any_hit_mode:
-            def body(state):
-                k, prune_i, occ = state
-                wj = fetch_weights(k, state)
-                ok, _, _ = mt_accept(wj)
-                occ = occ | jnp.max(jnp.where(ok, 1, 0), axis=1,
-                                    keepdims=True)
-                prune_i = jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i)) + 256
-                return k + 1, prune_i, occ
+            def cond(state):
+                k, prune_i = state[0], state[1]
+                # The key's low cid bits only raise it past the pure entry
+                # bound; the +256 prune pad dominates them.
+                key_k = key_ref[0, g, jnp.minimum(k, n_c - 1)]
+                return (k < count) & (key_k <= prune_i)
 
-            occ0 = occ0_ref[0]
-            prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
-            state = jax.lax.while_loop(cond, body, (0, prune0, occ0))
-            k, _, occ = state
-            out_ref[0] = occ
-        else:
-            def body(state):
-                k, prune_i, t_i, pid = state
-                cid = key_ref[0, 0, k] & cmask
-                wj = fetch_weights(k, state)
-                ok, nd, nt = mt_accept(wj)
-                inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
-                tpair = jnp.where(ok, nt * inv, _BIG_CLEAN)
-                ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape, 1)
-                keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
-                         & ~imask) | ids)
-                kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE reduction
-                t_new = kmin & ~imask
-                better = t_new < t_i
-                t_i = jnp.where(better, t_new, t_i)
-                pid = jnp.where(better, cid * c_size + (kmin & imask), pid)
-                prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
-                return k + 1, prune_i, t_i, pid
+            def mt_accept(wj):
+                """All R x C MT numerators of this cluster; sign-test
+                accept.
 
-            t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
-            pid0 = jnp.full((R, 1), -1, jnp.int32)
-            prune0 = jnp.max(tcap_i) + 256
-            state = jax.lax.while_loop(cond, body, (0, prune0, t0, pid0))
-            k, _, _, pid = state
-            out_ref[0] = pid
-        if stream:
-            # Drain the in-flight prefetch a prune early-exit left behind
-            # (the warmup fetch when the loop never ran, or the k-th fetch
-            # issued by body(k-1)).
-            @pl.when(k < count)
-            def _():
-                wait_fetch(k)
-        steps_ref[0, 0] += k
+                ONE (Kp, R)^T @ (Kp, 4C) dot — the MXU evaluates every
+                numerator in a handful of systolic passes while the VPU
+                runs the previous visit's epilogue. K is thin (8/128 of
+                the systolic depth) but the MXU is otherwise idle, so
+                even at 6% utilization it beats burning VPU issue slots.
+                Zero-padded feature rows (including the tcap row)
+                multiply zero weight rows, so the contraction is
+                unchanged.
+                """
+                acc = jax.lax.dot_general(
+                    f, wj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (R, 4C)
+                nu = acc[:, :c_size]
+                nv = acc[:, c_size:2 * c_size]
+                nd = acc[:, 2 * c_size:3 * c_size]
+                nt = acc[:, 3 * c_size:]
+                s = jnp.where(nd >= 0, 1.0, -1.0)
+                m = jnp.minimum(jnp.minimum(nu * s, nv * s),
+                                jnp.minimum((nd - nu - nv) * s, nt * s))
+                ok = (m >= 0) & (nd != 0)  # t >= 0 implied (nt*s >= 0)
+                return ok, nd, nt
+
+            def fetch_weights(k):
+                if stream:
+                    @pl.when(k + 1 < count)
+                    def _():
+                        start_fetch(k + 1)
+                    wait_fetch(k)
+                    return wbuf[k % 2]
+                return w_ref[key_ref[0, g, k] & cmask]
+
+            if any_hit_mode:
+                def body(state):
+                    k, prune_i, occ = state
+                    wj = fetch_weights(k)
+                    ok, _, _ = mt_accept(wj)
+                    occ = occ | jnp.max(jnp.where(ok, 1, 0), axis=1,
+                                        keepdims=True)
+                    prune_i = (jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i))
+                               + 256)
+                    return k + 1, prune_i, occ
+
+                occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
+                prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
+                state = jax.lax.while_loop(cond, body, (0, prune0, occ0))
+                k, _, occ = state
+                out_ref[g * R:(g + 1) * R] = occ.reshape(R)
+            else:
+                def body(state):
+                    k, prune_i, t_i, pid = state
+                    cid = key_ref[0, g, k] & cmask
+                    wj = fetch_weights(k)
+                    ok, nd, nt = mt_accept(wj)
+                    inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
+                    tpair = jnp.where(ok, nt * inv, _BIG_CLEAN)
+                    ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape,
+                                                   1)
+                    keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
+                             & ~imask) | ids)
+                    kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE red.
+                    t_new = kmin & ~imask
+                    better = t_new < t_i
+                    t_i = jnp.where(better, t_new, t_i)
+                    pid = jnp.where(better, cid * c_size + (kmin & imask),
+                                    pid)
+                    prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
+                    return k + 1, prune_i, t_i, pid
+
+                t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
+                pid0 = jnp.full((R, 1), -1, jnp.int32)
+                prune0 = jnp.max(tcap_i) + 256
+                state = jax.lax.while_loop(cond, body,
+                                           (0, prune0, t0, pid0))
+                k, _, _, pid = state
+                out_ref[g * R:(g + 1) * R] = pid.reshape(R)
+            if stream:
+                # Drain the in-flight prefetch a prune early-exit left
+                # behind (the warmup fetch when the loop never ran, or
+                # the k-th fetch issued by body(k-1)).
+                @pl.when(k < count)
+                def _():
+                    wait_fetch(k)
+            total = total + k
+        steps_ref[0, 0] += total
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_feat", "tcap_col",
+@functools.partial(jax.jit, static_argnames=("tcap_col",
                                              "any_hit_mode", "stream",
                                              "interpret"))
-def _walk_pallas(counts, keys, feats, w, occ0=None, *, n_feat, tcap_col,
+def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
                  any_hit_mode, stream, interpret):
     """Launch the walk kernel over all tiles. Returns (out, steps).
 
-    out is (n_tiles, R, 1) int32 — packed winner slot ids (closest mode,
-    -1 = miss) or occlusion flags (any-hit mode). steps is the MEASURED
-    total of executed cluster visits (the Statistics capability,
-    single_ray_traverser.hpp:131-163).
+    feats is CHANNEL-FIRST (Kp, n_tiles * R) — rays on the dense lane
+    axis (see the kernel docstring for why ray-major would cost ~1 GB of
+    lane padding per frame). occ0, when given, is flat (n_tiles * R,).
+    out is flat (n_tiles * R,) int32 — packed winner slot ids (closest
+    mode, -1 = miss) or occlusion flags (any-hit mode); 1-D keeps the
+    buffer dense (a (tiles, R, 1) form is lane-padded 128x by XLA).
+    steps is the MEASURED total of executed cluster visits (the
+    Statistics capability, single_ray_traverser.hpp:131-163).
     """
-    n_tiles, R, Kp = feats.shape
+    Kp, R_total = feats.shape
+    n_tiles = counts.shape[0]
+    R = R_total // n_tiles
     n_c, _, C4 = w.shape
+    G = min(_GROUP_TILES, n_tiles)
+    pad_t = (-n_tiles) % G
+    if pad_t:
+        # Padding tiles have count 0: the walk skips them and writes the
+        # init state (miss / unoccluded); their output rows are dropped.
+        counts = jnp.pad(counts, (0, pad_t))
+        keys = jnp.pad(keys, ((0, pad_t), (0, 0)))
+        feats = jnp.pad(feats, ((0, 0), (0, pad_t * R)))
+        if occ0 is not None:
+            occ0 = jnp.pad(occ0, (0, pad_t * R))
+    n_groups = (n_tiles + pad_t) // G
     in_specs = [
-        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, n_c), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, G, n_c), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, R, Kp), lambda i: (i, 0, 0),
+        pl.BlockSpec((Kp, G * R), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
-    args = [counts[:, None, None], keys[:, None, :], feats]
+    args = [counts.reshape(n_groups, 1, G), keys.reshape(n_groups, G, n_c),
+            feats]
     if any_hit_mode:
-        in_specs.append(pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((G * R,), lambda i: (i,),
                                      memory_space=pltpu.VMEM))
         args.append(occ0)
     in_specs.append(
@@ -428,14 +477,14 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, n_feat, tcap_col,
         pl.BlockSpec((n_c, Kp, C4), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM))
     args.append(w)
-    return pl.pallas_call(
-        _make_walk_kernel(C4 // 4, n_feat, n_c, R, tcap_col, any_hit_mode,
+    out, steps = pl.pallas_call(
+        _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, any_hit_mode,
                           stream),
         grid_spec=pl.GridSpec(
-            grid=(n_tiles,),
+            grid=(n_groups,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, R, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((G * R,), lambda i: (i,),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -445,11 +494,12 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, n_feat, tcap_col,
                             else []),
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups * G * R,), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         interpret=interpret,
     )(*args)
+    return out[:R_total], steps
 
 
 def _use_stream(w) -> bool:
@@ -489,11 +539,14 @@ def _cols(x):
 
 
 def _feats_from_cols(cols, kp, tcap=None):
-    """Per-ray feature columns -> (R, kp): [cols..., 1, tcap?, zeros...].
+    """Per-ray feature columns -> CHANNEL-FIRST (kp, R).
 
-    The root-exit cap rides the first spare (zero-weight-row) feature
-    column, saving the kernel a separate input stream; its column index is
-    ``len(cols) + 1`` (returned layout is static per n_feat).
+    Layout: rows [cols..., 1, tcap?, zeros...], rays on the dense lane
+    axis. The ray-major (R, kp) form would be lane-padded kp -> 128 by
+    XLA (16x memory for kp = 8; measured 13-24 ms/frame of concatenate
+    at 1080p). The root-exit cap rides the first spare (zero-weight-row)
+    feature row, saving the kernel a separate input stream; its row index
+    is ``len(cols) + 1`` (returned layout is static per n_feat).
     """
     R = cols[0].shape[0]
     arrs = list(cols) + [jnp.ones((R,), cols[0].dtype)]
@@ -502,15 +555,20 @@ def _feats_from_cols(cols, kp, tcap=None):
     if kp > len(arrs):
         zero = jnp.zeros((R,), cols[0].dtype)
         arrs.extend([zero] * (kp - len(arrs)))
-    return jnp.stack(arrs, axis=-1)
+    return jnp.stack(arrs, axis=0)
+
+
+def _pad_rays(x, tile=TILE):
+    """(R, ...) -> (R_pad, ...) zero-padded to a multiple of ``tile``."""
+    pad = (-x.shape[0]) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
 
 
 def _tile_rays(x, tile):
     """(R, ...) -> (n_tiles, tile, ...) zero-padded."""
-    R = x.shape[0]
-    pad = (-R) % tile
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    x = _pad_rays(x, tile)
     return x.reshape((-1, tile) + x.shape[1:])
 
 
@@ -534,13 +592,13 @@ def _closest_search(cs, eye, dir_cols):
     lo = cs.lo - eye
     hi = cs.hi - eye
     root_lo, root_hi = _scene_root(cs)
-    dirs_tiled = tuple(_tile_rays(c, TILE) for c in dir_cols)
-    tcap = _ray_tcap(root_lo - eye, root_hi - eye, None, dir_cols)
-    feats_tiled = _tile_rays(
-        _feats_from_cols(dir_cols, w.shape[1], tcap=tcap), TILE)
+    dp = tuple(_pad_rays(c) for c in dir_cols)
+    dirs_tiled = tuple(c.reshape(-1, TILE) for c in dp)
+    tcap = _ray_tcap(root_lo - eye, root_hi - eye, None, dp)
+    feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
     keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled)
     pidx, steps = _walk_pallas(
-        counts, keys, feats_tiled, w, n_feat=4, tcap_col=4,
+        counts, keys, feats, w, tcap_col=4,
         any_hit_mode=False, stream=_use_stream(w), interpret=_interpret())
     steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
@@ -669,24 +727,27 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     o = tuple(o_cols[a] - shift[a] for a in range(3))
     if skip is None:
         skip = jnp.zeros((R,), bool)
-    dirs_tiled = tuple(_tile_rays(c, TILE) for c in d_cols)
-    orig_tiled = tuple(_tile_rays(c, TILE) for c in o)
-    alive = _tile_rays(~skip, TILE) & (
-        (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
-         + dirs_tiled[2] * dirs_tiled[2]) > 0.0)
-    dxo = (d_cols[1] * o[2] - d_cols[2] * o[1],
-           d_cols[2] * o[0] - d_cols[0] * o[2],
-           d_cols[0] * o[1] - d_cols[1] * o[0])
+    dp = tuple(_pad_rays(c) for c in d_cols)
+    op = tuple(_pad_rays(c) for c in o)
+    dirs_tiled = tuple(c.reshape(-1, TILE) for c in dp)
+    orig_tiled = tuple(c.reshape(-1, TILE) for c in op)
+    skip_p = _pad_rays(skip)
+    alive = ~skip_p.reshape(-1, TILE)
+    alive = alive & ((dirs_tiled[0] * dirs_tiled[0]
+                      + dirs_tiled[1] * dirs_tiled[1]
+                      + dirs_tiled[2] * dirs_tiled[2]) > 0.0)
+    dxo = (dp[1] * op[2] - dp[2] * op[1],
+           dp[2] * op[0] - dp[0] * op[2],
+           dp[0] * op[1] - dp[1] * op[0])
     # Padding rays are not skipped but have zero dirs -> tcap = -1, so they
     # never extend a tile's prune and never resolve to occluded.
-    tcap = _ray_tcap(root_lo - shift, root_hi - shift, o, d_cols)
-    feats_tiled = _tile_rays(
-        _feats_from_cols(d_cols + dxo + o, w.shape[1], tcap=tcap), TILE)
-    occ0 = _tile_rays(skip.astype(jnp.int32), TILE)[..., None]
+    tcap = _ray_tcap(root_lo - shift, root_hi - shift, op, dp)
+    feats = _feats_from_cols(dp + dxo + op, w.shape[1], tcap=tcap)
+    occ0 = skip_p.astype(jnp.int32)
     keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, orig_tiled,
                                         alive)
     occ, steps = _walk_pallas(
-        counts, keys, feats_tiled, w, occ0, n_feat=10, tcap_col=10,
+        counts, keys, feats, w, occ0, tcap_col=10,
         any_hit_mode=True, stream=_use_stream(w), interpret=_interpret())
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
