@@ -121,12 +121,13 @@ def _corner_shade_cols(sun, n, neg_view):
     return tuple(jnp.clip(base * TINT[a] + spec, 0.0, 1.0) for a in range(3))
 
 
-def smooth_shading_cols(sun_line, corners9, view, u, v,
+def smooth_shading_cols(sun_line, corner_cols, view, u, v,
                         reference_compat: bool = False):
     """Gouraud smooth shading, column form (render.hpp:57-84).
 
-    sun_line/view: 3-tuples of (R,); corners9: (R, 9) packed corner
-    normals [n0 | n1 | n2] (one winner-gather payload row per ray).
+    sun_line/view: 3-tuples of (R,); corner_cols: sequence of 9 (R,)
+    corner-normal columns [n0 | n1 | n2] (per-column winner-gather
+    payload — a packed (R, 9) row form would be lane-padded 9 -> 128).
     Returns 3-tuple of (R,) RGB columns. Same corner-weight convention as
     :func:`smooth_shading` (w, u, v) — see that docstring for the
     documented deviation from render.hpp:76-83 and the
@@ -136,8 +137,8 @@ def smooth_shading_cols(sun_line, corners9, view, u, v,
     cs = [
         _corner_shade_cols(
             sun_line,
-            (corners9[:, 3 * k], corners9[:, 3 * k + 1],
-             corners9[:, 3 * k + 2]),
+            (corner_cols[3 * k], corner_cols[3 * k + 1],
+             corner_cols[3 * k + 2]),
             neg_view)
         for k in range(3)
     ]

@@ -611,13 +611,13 @@ def _winner_tuv(rec, eye, dir_cols):
     Exactly triangle.hpp:95-115 with c = p0 - eye, evaluated only at the R
     winners instead of through the R x T search — this is where gradients
     of (t, u, v) w.r.t. vertices / camera / ray directions come from.
-    ``rec`` is the (R, >=12) gathered winner table [p0, e1, e2, n, ...];
-    all math is column (R,) ops.
+    ``rec`` is the sequence of gathered winner-table COLUMNS
+    [p0 x3, e1 x3, e2 x3, n x3, ...]; all math is column (R,) ops.
     """
-    p0 = (rec[:, 0], rec[:, 1], rec[:, 2])
-    e1 = (rec[:, 3], rec[:, 4], rec[:, 5])
-    e2 = (rec[:, 6], rec[:, 7], rec[:, 8])
-    n = (rec[:, 9], rec[:, 10], rec[:, 11])
+    p0 = (rec[0], rec[1], rec[2])
+    e1 = (rec[3], rec[4], rec[5])
+    e2 = (rec[6], rec[7], rec[8])
+    n = (rec[9], rec[10], rec[11])
     d = dir_cols
     c = tuple(p0[a] - eye[a] for a in range(3))
     r = (d[1] * c[2] - d[2] * c[1],
@@ -634,25 +634,34 @@ def _winner_tuv(rec, eye, dir_cols):
     return t, u, v
 
 
-def _winner_table(soup: TriangleSoup, cs, payload):
-    """(N_c * C, 13 + P) packed winner table in cluster-slot order.
+def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
+    """List of (N_c * C,) winner-table COLUMNS in cluster-slot order.
 
-    Row ``slot`` holds [p0, e1, e2, n, perm_bits, payload...] of the
-    triangle stored at that slot, so ONE row gather by the kernel's packed
-    winner id serves the differentiable (t, u, v) recompute, the original
-    triangle id (perm as f32 bits — a separate s32 gather by original id
-    lowers to a 15 ms/frame scalar-loop custom call), and any per-triangle
-    shading payload. Built from ``soup`` (NOT the stop-gradiented cluster
-    arrays) so gradients flow to vertices through the gather.
+    Column layout: [p0 x3, e1 x3, e2 x3, n x3, perm_bits, payload...] of
+    the triangle stored at each slot, so per-column gathers by the
+    kernel's packed winner id serve the differentiable (t, u, v)
+    recompute, the original triangle id (perm as an exact f32 VALUE — ids
+    are exact in a float32 mantissa up to 2^24 triangles, and a float
+    value survives the dense-unpack matmul where a bit pattern would be
+    denormal-flushed; a separate s32 gather by original id lowers to a
+    15 ms/frame scalar-loop custom call), and any per-triangle shading
+    payload. COLUMNS, not a
+    (slots, 13+P) table: a row-major table's minor dim is lane-padded
+    25 -> 128 by XLA, and every downstream column slice then re-streams
+    the whole ~1 GB padded gather output (measured ~21 ms/frame at
+    1080p). Built from ``soup`` (NOT the stop-gradiented cluster arrays)
+    so gradients flow to vertices through the gather.
     """
     src = jnp.clip(cs.perm, 0)
-    valid = (cs.perm >= 0)[:, None]
-    tri12 = jnp.concatenate([soup.p0, soup.e1, soup.e2, soup.n], axis=-1)
-    parts = [jnp.where(valid, tri12[src], 0.0),
-             jax.lax.bitcast_convert_type(cs.perm, jnp.float32)[:, None]]
-    if payload is not None:
-        parts.append(jnp.where(valid, payload[src], 0.0))
-    return jnp.concatenate(parts, axis=-1)
+    valid = cs.perm >= 0
+    cols = []
+    for arr in (soup.p0, soup.e1, soup.e2, soup.n):
+        for a in range(3):
+            cols.append(jnp.where(valid, arr[src, a], 0.0))
+    cols.append(cs.perm.astype(jnp.float32))
+    for c in payload_cols or ():
+        cols.append(jnp.where(valid, c[src], 0.0))
+    return cols
 
 
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
@@ -668,9 +677,10 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     recomputation at the winners, gathered from ``soup`` by original
     triangle id.
 
-    ``payload`` ((T, P) per-triangle rows, e.g. shading normals) rides the
-    winner gather: returns (hit, payload_rows (R, P)) with zero rows at
-    misses. ``with_counts=True`` additionally returns the traversal
+    ``payload`` (a sequence of P per-triangle (T,) columns, e.g. shading
+    normals) rides the winner gather: returns (hit, payload_cols — a
+    P-tuple of (R,) columns) with zeros at misses. ``with_counts=True``
+    additionally returns the traversal
     counters (MEASURED walk-loop cluster visits — early exits included,
     so steps == executed MT blocks) — the SingleRayTraverser::Statistics
     capability (single_ray_traverser.hpp:131-163), measured, not
@@ -683,16 +693,30 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
             jax.tree.map(jax.lax.stop_gradient, soup))
     pidx, counts = _closest_search(cs, eye, dir_cols)
     mask = pidx >= 0
-    table = _winner_table(soup, cs, payload)
-    rec = table[jnp.clip(pidx, 0)]               # ONE (R, 13+P) row gather
-    prim = jnp.where(
-        mask, jax.lax.bitcast_convert_type(rec[:, 12], jnp.int32), 0)
+    cols = _winner_table_cols(soup, cs, payload)
+    table = jnp.stack(cols, axis=-1)
+    idx = jnp.clip(pidx, 0)
+    # ONE row gather (the TPU fast path; per-column 1-D gathers lower to
+    # scalar loops, measured >10x slower), then an identity matmul to
+    # materialize the columns DENSE. The matmul is not decoration: XLA
+    # turns a plain transpose into a zero-cost layout bitcast, after
+    # which every downstream column consumer re-streams the whole
+    # lane-padded (R, 13+P) gather output — measured ~21 ms/frame at
+    # 1080p. An MXU op is forced to produce a standard dense layout, so
+    # the padded buffer is read once and the 13+P consumers each read an
+    # 8 MB dense column. Exact (identity rows at HIGHEST precision) and
+    # linear, so gradients pass through untouched.
+    recT = jnp.matmul(jnp.eye(len(cols), dtype=table.dtype),
+                      jnp.transpose(table[idx]),
+                      precision=jax.lax.Precision.HIGHEST)
+    rec = tuple(recT)
+    prim = jnp.where(mask, rec[12].astype(jnp.int32), 0)
     t, u, v = _winner_tuv(rec, eye, dir_cols)
     hit = Hit(t=jnp.where(mask, t, jnp.inf),
               u=jnp.where(mask, u, 0.0),
               v=jnp.where(mask, v, 0.0),
               prim_id=prim, mask=mask)
-    out = (hit,) if payload is None else (hit, rec[:, 13:])
+    out = (hit,) if payload is None else (hit, rec[13:])
     if with_counts:
         counts["mt_pairs"] = (counts["mt_block_visits"]
                               * TILE * cs.cluster_size)

@@ -126,25 +126,29 @@ def render_wavefront_cols(
     from ceres_tpu.ops import megakernel
 
     want_counts = config.traversal_stats
+    # Payload is a list of per-triangle COLUMNS (each (T,)): the winner
+    # gather is per-column, keeping every gathered array dense — a packed
+    # (T, P) payload row would be lane-padded P -> 128 by XLA and each
+    # downstream column slice re-streams the whole padded gather output
+    # (~21 ms/frame measured at 1080p).
+    payload = [soup.n[:, a] for a in range(3)]
     if config.mode == "smooth":
         if soup.corner_normals is None:
             raise ValueError("smooth shading requires corner_normals")
-        payload = jnp.concatenate(
-            [soup.n, soup.corner_normals.reshape(-1, 9)], axis=-1)
-    else:
-        payload = soup.n
-    n_pay = payload.shape[-1]
+        cn = soup.corner_normals
+        payload += [cn[:, k, a] for k in range(3) for a in range(3)]
+    n_pay = len(payload)
     if config.reference_compat:
         # The compat hit point needs the winner's vertices; they ride the
-        # same single winner gather as the shading payload.
-        payload = jnp.concatenate([payload, soup.p0, soup.e1, soup.e2],
-                                  axis=-1)
+        # same winner gather as the shading payload.
+        for arr in (soup.p0, soup.e1, soup.e2):
+            payload += [arr[:, a] for a in range(3)]
     res = megakernel.closest_hit_common_origin(
         soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
         with_counts=want_counts)
     (hit, pay), counts1 = (res[:2], res[2]) if want_counts else (res, None)
     mask = hit.mask
-    n = (pay[:, 0], pay[:, 1], pay[:, 2])
+    n = (pay[0], pay[1], pay[2])
     # Normalize the face normal with a miss guard: payload rows are zero
     # at misses and a NaN there would leak into gradients through where.
     nsq = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
@@ -154,9 +158,9 @@ def render_wavefront_cols(
         # (render.hpp:127-129) — mis-assigned weights, the point is off-ray.
         w_bar = 1.0 - hit.u - hit.v
         point = tuple(
-            hit.u * pay[:, n_pay + a]
-            + hit.v * (pay[:, n_pay + a] - pay[:, n_pay + 3 + a])   # p1=p0-e1
-            + w_bar * (pay[:, n_pay + 6 + a] + pay[:, n_pay + a])   # p2=e2+p0
+            hit.u * pay[n_pay + a]
+            + hit.v * (pay[n_pay + a] - pay[n_pay + 3 + a])   # p1=p0-e1
+            + w_bar * (pay[n_pay + 6 + a] + pay[n_pay + a])   # p2=e2+p0
             + SELF_INTERSECT_OFFSET * n[a] * n_inv
             for a in range(3))
     else:
@@ -187,7 +191,7 @@ def render_wavefront_cols(
 
     if config.mode == "smooth":
         shade = shading_mod.smooth_shading_cols(
-            sun_line, pay[:, 3:12], dir_cols, hit.u, hit.v,
+            sun_line, pay[3:12], dir_cols, hit.u, hit.v,
             reference_compat=config.reference_compat)
     elif config.mode == "flat":
         shade = shading_mod.flat_shading_cols(n, guard=mask)
