@@ -70,6 +70,8 @@ _VALID_CUT = 1.0e37  # entries >= this are padding, never real candidates
 _INV_CLAMP = 1e30
 _ULP_PAD = 4e-6       # conservative slab widening (RobustNodeIntersector,
                       # node_intersectors.hpp:54-79: never cull a true hit)
+_DEST_EPS = 4e-6      # t-window margin for common-destination occlusion
+                      # (self-shadow guard at the receiving point)
 # Weight tensors up to this size stay VMEM-resident for the whole kernel;
 # larger scenes switch to the double-buffered HBM streaming path.
 _RESIDENT_W_BYTES = 8 << 20
@@ -257,7 +259,7 @@ def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
 # ---------------------------------------------------------------------------
 
 def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
-                      tcap_col: int, any_hit_mode: bool, stream: bool):
+                      tcap_col: int, mode: str, stream: bool):
     """One grid step per GROUP of G ray tiles: walk each tile's sorted
     candidate list FRONT TO BACK, early-exiting on the tile prune (see
     module docstring). Grouping amortizes Mosaic's fixed per-grid-step
@@ -274,6 +276,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
     ibits = max(1, (c_size - 1).bit_length())
     imask = (1 << ibits) - 1
     cmask = (1 << _cid_bits(n_c)) - 1
+    any_hit_mode = mode in ("any", "any_dest")
 
     def kernel(*refs):
         if stream:
@@ -356,9 +359,21 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 nd = acc[:, 2 * c_size:3 * c_size]
                 nt = acc[:, 3 * c_size:]
                 s = jnp.where(nd >= 0, 1.0, -1.0)
-                m = jnp.minimum(jnp.minimum(nu * s, nv * s),
-                                jnp.minimum((nd - nu - nv) * s, nt * s))
-                ok = (m >= 0) & (nd != 0)  # t >= 0 implied (nt*s >= 0)
+                uvw = jnp.minimum(jnp.minimum(nu * s, nv * s),
+                                  (nd - nu - nv) * s)
+                if mode == "any_dest":
+                    # Common-DESTINATION rays (origin = the light, t = 1
+                    # at the receiving point): occluder iff the line hits
+                    # the triangle strictly before the receiver,
+                    # t <= 1 - eps  <=>  (nt - (1 - eps) * nd) * s <= 0.
+                    # The eps window replaces the receiver's geometric
+                    # self-intersection offset, which at light distance L
+                    # is below f32 resolution of t (offset/L ~ 1e-7).
+                    win = (nt - (1.0 - _DEST_EPS) * nd) * s <= 0
+                    ok = (uvw >= 0) & (nd != 0) & win
+                else:
+                    m = jnp.minimum(uvw, nt * s)
+                    ok = (m >= 0) & (nd != 0)  # t >= 0 (nt*s >= 0)
                 return ok, nd, nt
 
             def fetch_weights(k):
@@ -427,11 +442,10 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tcap_col",
-                                             "any_hit_mode", "stream",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("tcap_col", "mode",
+                                             "stream", "interpret"))
 def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
-                 any_hit_mode, stream, interpret):
+                 mode, stream, interpret):
     """Launch the walk kernel over all tiles. Returns (out, steps).
 
     feats is CHANNEL-FIRST (Kp, n_tiles * R) — rays on the dense lane
@@ -447,6 +461,7 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
     n_tiles = counts.shape[0]
     R = R_total // n_tiles
     n_c, _, C4 = w.shape
+    any_hit_mode = mode in ("any", "any_dest")
     G = min(_GROUP_TILES, n_tiles)
     pad_t = (-n_tiles) % G
     if pad_t:
@@ -478,7 +493,7 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
                      memory_space=pltpu.VMEM))
     args.append(w)
     out, steps = pl.pallas_call(
-        _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, any_hit_mode,
+        _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, mode,
                           stream),
         grid_spec=pl.GridSpec(
             grid=(n_groups,),
@@ -599,7 +614,7 @@ def _closest_search(cs, eye, dir_cols):
     keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled)
     pidx, steps = _walk_pallas(
         counts, keys, feats, w, tcap_col=4,
-        any_hit_mode=False, stream=_use_stream(w), interpret=_interpret())
+        mode="closest", stream=_use_stream(w), interpret=_interpret())
     steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
                                   "mt_block_visits": steps}
@@ -772,7 +787,71 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
                                         alive)
     occ, steps = _walk_pallas(
         counts, keys, feats, w, occ0, tcap_col=10,
-        any_hit_mode=True, stream=_use_stream(w), interpret=_interpret())
+        mode="any", stream=_use_stream(w), interpret=_interpret())
+    steps = steps[0, 0]
+    result = (occ.reshape(-1)[:R] == 1) & ~skip
+    if with_counts:
+        cnts = {"traversal_steps": steps, "mt_block_visits": steps,
+                "mt_pairs": steps * TILE * cs.cluster_size}
+        return result, cnts
+    return result
+
+
+def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
+                     clusters=None, with_counts=False):
+    """Occlusion between each ``points[i]`` and the common point ``dest``.
+
+    THE shadow-ray fast path: every shadow ray of a frame aims at the one
+    sun, so the wavefront is re-parameterized as rays FROM ``dest``
+    (t = 0) TO each receiving point (t = 1). A line through a fixed point
+    is characterized by its direction alone — exactly the common-ORIGIN
+    case — so the K = 4 feature factorization applies (2.5x fewer FMA
+    lanes than the 10-feature generic form the reference-equivalent ray
+    would need) and the per-tile direction hulls are as tight as the
+    receiving points are coherent. The accept keeps the Möller-Trumbore
+    sign test but swaps the t >= 0 bound for the window t <= 1 - eps:
+    occluders strictly between light and receiver. Replaces the
+    reference's shadow query (render.hpp:134-141) with one semantic
+    deviation, documented at RenderConfig.reference_compat: the
+    reference's tmax is unbounded, so geometry BEYOND the light also
+    darkens there.
+
+    ``points`` is (R, 3) or a 3-tuple of (R,) columns. ``skip`` marks
+    rays whose answer is irrelevant. Boolean, intentionally
+    non-differentiable (detached visibility).
+    """
+    soup, dest, p_cols = jax.lax.stop_gradient(
+        (soup, dest, _cols(points)))
+    R = p_cols[0].shape[0]
+    if clusters is None:
+        cs = cl.build_clusters_treelet(soup)
+    else:
+        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
+    w = _pack_weights(cl.cluster_weights_common_origin(cs, dest))
+    lo = cs.lo - dest
+    hi = cs.hi - dest
+    root_lo, root_hi = _scene_root(cs)
+    if skip is None:
+        skip = jnp.zeros((R,), bool)
+    d = tuple(p_cols[a] - dest[a] for a in range(3))    # t=1 at the point
+    dp = tuple(_pad_rays(c) for c in d)
+    dirs_tiled = tuple(c.reshape(-1, TILE) for c in dp)
+    skip_p = _pad_rays(skip)
+    alive = ~skip_p.reshape(-1, TILE)
+    alive = alive & ((dirs_tiled[0] * dirs_tiled[0]
+                      + dirs_tiled[1] * dirs_tiled[1]
+                      + dirs_tiled[2] * dirs_tiled[2]) > 0.0)
+    # Visit cap: nothing past the receiving point can occlude, so the
+    # root-exit cap is additionally clamped to t = 1 (+ slack for the
+    # conservative entry bounds). Padding rays (zero dirs) keep tcap -1.
+    tcap = _ray_tcap(root_lo - dest, root_hi - dest, None, dp)
+    tcap = jnp.minimum(tcap, 1.0 + _ULP_PAD)
+    feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
+    occ0 = skip_p.astype(jnp.int32)
+    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, alive=alive)
+    occ, steps = _walk_pallas(
+        counts, keys, feats, w, occ0, tcap_col=4,
+        mode="any_dest", stream=_use_stream(w), interpret=_interpret())
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:

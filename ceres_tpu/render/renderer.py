@@ -52,14 +52,20 @@ class RenderConfig:
     # Statistics mechanism (single_ray_traverser.hpp:131-163), distinct
     # from the app-level rays/hits counts (SURVEY.md §3.5 wants both).
     traversal_stats: bool = False
-    # Reproduce the reference's EXACT barycentric assignment: hit point
-    # u*p0 + v*p1 + (1-u-v)*p2 (render.hpp:127-129) and Gouraud corner
-    # weights (u, v, 1-u-v) (render.hpp:76-83). That assignment mis-pairs
-    # the MT (u, v) with the corners — the interpolated "hit point" does
-    # not lie on the ray — so the default (False) interpolates correctly
-    # ((1-u-v, u, v), hit point = eye + t*view); this flag exists to make
-    # reference parity bit-testable (tests/test_reference_compat.py checks
-    # it against a PPM rendered by the actual C++ reference).
+    # Reproduce the reference's EXACT behavior where the default deviates:
+    # (1) barycentric assignment: hit point u*p0 + v*p1 + (1-u-v)*p2
+    #     (render.hpp:127-129) and Gouraud corner weights (u, v, 1-u-v)
+    #     (render.hpp:76-83). That assignment mis-pairs the MT (u, v)
+    #     with the corners — the interpolated "hit point" does not lie on
+    #     the ray — so the default (False) interpolates correctly
+    #     ((1-u-v, u, v), hit point = eye + t*view).
+    # (2) shadow rays: the reference uses tmax = inf (render.hpp:134-141),
+    #     so geometry BEYOND the sun also darkens; the default runs the
+    #     physically-correct [point, sun] segment test (which is also the
+    #     common-origin-from-the-sun fast path on the megakernel backend).
+    # This flag exists to make reference parity bit-testable
+    # (tests/test_reference_compat.py checks it against a PPM rendered by
+    # the actual C++ reference).
     reference_compat: bool = False
 
 
@@ -182,9 +188,20 @@ def render_wavefront_cols(
 
     counts2 = None
     if config.shadows:
-        res2 = megakernel.any_hit(
-            soup, _scene_center(soup), point, sun_line, skip=~mask,
-            clusters=clusters, with_counts=want_counts)
+        if config.reference_compat:
+            # The reference's exact query: an unbounded ray from the hit
+            # point toward the sun (tmax = inf, render.hpp:134-141), so
+            # occluders BEYOND the sun darken too. Generic-ray form.
+            res2 = megakernel.any_hit(
+                soup, _scene_center(soup), point, sun_line, skip=~mask,
+                clusters=clusters, with_counts=want_counts)
+        else:
+            # Physically-correct segment test, and the fast path: all
+            # shadow rays share the sun, so they run as a common-origin
+            # wavefront FROM the sun (K=4 features, tight tile hulls).
+            res2 = megakernel.any_hit_to_point(
+                soup, sun_position, point, skip=~mask,
+                clusters=clusters, with_counts=want_counts)
         occluded, counts2 = res2 if want_counts else (res2, None)
     else:
         occluded = jnp.zeros_like(mask)

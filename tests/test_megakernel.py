@@ -116,6 +116,70 @@ class TestAnyHit:
         assert not np.asarray(occ)[np.asarray(skip)].any()
 
 
+class TestAnyHitToPoint:
+    """The common-destination (shadow) fast path: segment occlusion
+    between each point and one shared light position."""
+
+    def test_matches_generic_when_light_outside_scene(self, rng):
+        # With the light outside the scene bounds, "anything along the ray
+        # toward the light" (the generic form, tmax = inf) and "anything
+        # strictly between point and light" (the segment form) agree.
+        soup = _random_scene(rng)
+        R = 600
+        points = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.1
+            + np.array([0, 0, -4], np.float32))
+        dest = jnp.asarray([30.0, 45.0, -20.0], jnp.float32)
+        dirs = dest[None, :] - points
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        center = jnp.mean(soup.p0, axis=0)
+        occ_generic = mk.any_hit(soup, center, points, dirs)
+        occ_seg = mk.any_hit_to_point(soup, dest, points)
+        # The two parameterizations round differently at triangle edges;
+        # classification must agree except at a vanishing set of edge rays.
+        agree = np.asarray(occ_generic) == np.asarray(occ_seg)
+        assert agree.mean() > 0.995
+
+    def test_occluder_beyond_light_does_not_shadow(self):
+        # One triangle BEHIND the light w.r.t. the receiver: the
+        # reference's unbounded ray darkens (any_hit); the segment test
+        # must not (the physically-correct default, see
+        # RenderConfig.reference_compat).
+        verts = np.asarray([[-1, 10, -1], [1, 10, -1], [0, 10, 1]],
+                           np.float32)
+        faces = np.asarray([[0, 1, 2]], np.int32)
+        soup = triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                             with_normals=False)
+        points = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        dest = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)  # below the tri
+        up = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+        occ_generic = mk.any_hit(soup, jnp.zeros(3), points, up)
+        occ_seg = mk.any_hit_to_point(soup, dest, points)
+        assert bool(np.asarray(occ_generic)[0])       # tmax=inf: darkened
+        assert not bool(np.asarray(occ_seg)[0])       # segment: lit
+
+    def test_occluder_between_shadows(self):
+        verts = np.asarray([[-1, 2, -1], [1, 2, -1], [0, 2, 1]], np.float32)
+        faces = np.asarray([[0, 1, 2]], np.int32)
+        soup = triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                             with_normals=False)
+        points = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]], jnp.float32)
+        dest = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)
+        occ = np.asarray(mk.any_hit_to_point(soup, dest, points))
+        assert bool(occ[0])          # triangle sits between point and light
+        assert not bool(occ[1])      # offset receiver: clear line
+
+    def test_skip_mask(self, rng):
+        soup = _random_scene(rng)
+        R = 256
+        points = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.1)
+        dest = jnp.asarray([30.0, 45.0, -20.0], jnp.float32)
+        skip = jnp.asarray(rng.random(R) < 0.5)
+        occ = mk.any_hit_to_point(soup, dest, points, skip=skip)
+        assert not np.asarray(occ)[np.asarray(skip)].any()
+
+
 class TestRenderBackendEquivalence:
     def test_bunny_render_matches_bruteforce(self, bunny):
         verts, faces = bunny
