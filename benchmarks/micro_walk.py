@@ -20,17 +20,6 @@ from ceres_tpu.ops import megakernel as mk
 REPS = 20
 
 
-def timeit(fn, *args):
-    fn(*args)[1].block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        float(fn(*args)[1][0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best / 2
-
-
 def main():
     R = int(os.environ.get("MW_TILE", mk.TILE))
     n_tiles = (4080 * mk.TILE) // R
@@ -44,10 +33,11 @@ def main():
     w = jnp.asarray(np.abs(rng.normal(
         size=(n_c, Kp, C4))).astype(np.float32))
     w = w.at[:, :, 3 * (C4 // 4):].set(-1.0)
+    # Channel-first (Kp, n_tiles * R) feature block, rays on the lane axis.
     feats = jnp.asarray(np.abs(rng.normal(
-        size=(n_tiles, R, Kp))).astype(np.float32))
-    # tcap column: large positive so the prune never exits early.
-    feats = feats.at[:, :, 4].set(1e30)
+        size=(Kp, n_tiles * R))).astype(np.float32))
+    # tcap row: large positive so the prune never exits early.
+    feats = feats.at[4, :].set(1e30)
 
     for visits in (0, 1, 2, 4, 8):
         # Keys with ascending small entry bounds; count = visits per tile.
@@ -62,22 +52,22 @@ def main():
             def body(i, acc):
                 out, steps = mk._walk_pallas(
                     counts, keys, f + i * 1e-7, w, tcap_col=4,
-                    any_hit_mode=False, stream=False, interpret=False)
-                return acc + steps[0, 0] + out[0, 0, 0]
+                    mode="closest", stream=False, interpret=False)
+                return acc + steps[0, 0] + out[0]
             total = jax.lax.fori_loop(0, REPS, body, jnp.int32(0))
-            return total, jnp.zeros((1, 1)) + total
+            return total
 
-        run(feats)[1].block_until_ready()
+        float(run(feats))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(feats)[1][0, 0])
+            float(run(feats))
             best = min(best, time.perf_counter() - t0)
         dt = best / REPS
         per_tile = dt / n_tiles * 1e6
         _, steps = jax.jit(mk._walk_pallas, static_argnames=(
-            "tcap_col", "any_hit_mode", "stream", "interpret"))(
-            counts, keys, feats, w, tcap_col=4, any_hit_mode=False,
+            "tcap_col", "mode", "stream", "interpret"))(
+            counts, keys, feats, w, tcap_col=4, mode="closest",
             stream=False, interpret=False)
         print(f"visits={visits}: {dt*1e3:7.2f} ms  "
               f"{per_tile:6.2f} us/tile  executed={int(steps[0, 0])}")

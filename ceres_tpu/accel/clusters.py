@@ -27,6 +27,19 @@ from ceres_tpu.models.mesh import TriangleSoup
 
 CLUSTER_SIZE = 128  # triangles per cluster: one f32 lane row
 
+# The megakernel's winner table carries the original triangle id as an f32
+# VALUE (exact only in a 24-bit mantissa); guard the limit where the perm
+# is built so an oversized soup fails loudly, not with rounded prim_ids.
+_MAX_TRIANGLES = 1 << 24
+
+
+def _check_soup_size(T: int) -> None:
+    if T >= _MAX_TRIANGLES:
+        raise ValueError(
+            f"scene has {T} triangles; the megakernel carries triangle ids "
+            f"as exact f32 values, which caps a soup at {_MAX_TRIANGLES - 1} "
+            "triangles — split the scene (primitive sharding) instead")
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +80,7 @@ def build_clusters(soup: TriangleSoup, cluster_size: int = CLUSTER_SIZE) -> Clus
     with sort + gather + segmented min/max.
     """
     T = soup.num_triangles
+    _check_soup_size(T)
     C = cluster_size
     num_clusters = -(-T // C)
     pad = num_clusters * C - T
@@ -125,6 +139,7 @@ def build_clusters_treelet(soup: TriangleSoup,
     from ceres_tpu.accel import lbvh as lbvh_mod
 
     T = soup.num_triangles
+    _check_soup_size(T)
     C = cluster_size
     if T < 2 or T <= C:
         return build_clusters(soup, cluster_size)

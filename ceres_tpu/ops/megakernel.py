@@ -21,10 +21,14 @@ for a lockstep vector machine and split into two phases:
      min(closest-hit-so-far, scene-root exit) — i.e. the traverser's
      tmax-shrink pruning (single_ray_traverser.hpp:59,95-113) vectorized
      per tile, with the background-pixel worst case capped at the root
-     exit. Each visit evaluates all R x C x 4 MT numerators as K
-     broadcast-FMA lane passes on the VPU (exact f32; K is 4 or 10, far
-     too thin to feed the MXU usefully) with a branch-free sign-test
-     accept. The winner epilogue packs (t, lane id) into ONE int32 key
+     exit. Each visit evaluates all R x C x 4 MT numerators as ONE
+     (Kp, R)^T @ (Kp, 4C) `dot_general` on the MXU at
+     Precision.HIGHEST (multi-pass bf16 — near-f32, not bit-exact; the
+     winner (t, u, v) are recomputed in plain f32 JAX anyway). K is
+     thin (8/128 of the systolic depth) but the MXU is otherwise idle,
+     so even at low utilization it beats burning VPU issue slots; the
+     accept is a branch-free sign test. The winner epilogue packs
+     (t, lane id) into ONE int32 key
      (monotone bitcast; the low ceil(log2 C) mantissa bits carry the
      lane index) so per-visit selection is a single lane-axis min and a
      few (R, 1) column ops — no sublane<->lane relayouts, which cost 3x
@@ -364,12 +368,18 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 if mode == "any_dest":
                     # Common-DESTINATION rays (origin = the light, t = 1
                     # at the receiving point): occluder iff the line hits
-                    # the triangle strictly before the receiver,
-                    # t <= 1 - eps  <=>  (nt - (1 - eps) * nd) * s <= 0.
-                    # The eps window replaces the receiver's geometric
-                    # self-intersection offset, which at light distance L
-                    # is below f32 resolution of t (offset/L ~ 1e-7).
-                    win = (nt - (1.0 - _DEST_EPS) * nd) * s <= 0
+                    # the triangle strictly between light and receiver,
+                    # 0 <= t <= 1 - eps. The upper window is
+                    # (nt - (1 - eps) * nd) * s <= 0; the LOWER bound
+                    # nt * s >= 0 rejects geometry BEHIND the light
+                    # (t < 0) — without it, any in-scene light whose
+                    # candidate clusters extend past it would darken
+                    # receivers on the opposite side. The eps window
+                    # replaces the receiver's geometric self-intersection
+                    # offset, which at light distance L is below f32
+                    # resolution of t (offset/L ~ 1e-7).
+                    win = ((nt - (1.0 - _DEST_EPS) * nd) * s <= 0) \
+                        & (nt * s >= 0)
                     ok = (uvw >= 0) & (nd != 0) & win
                 else:
                     m = jnp.minimum(uvw, nt * s)

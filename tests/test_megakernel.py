@@ -179,6 +179,36 @@ class TestAnyHitToPoint:
         occ = mk.any_hit_to_point(soup, dest, points, skip=skip)
         assert not np.asarray(occ)[np.asarray(skip)].any()
 
+    def test_light_inside_scene_occluder_behind_light(self):
+        # Regression: an IN-SCENE light (dest inside the candidate
+        # cluster's AABB, so phase-1 culling cannot reject the cluster)
+        # with an occluder BEHIND the light (t < 0 on the light->receiver
+        # line). The accept needs the t >= 0 lower bound — without it the
+        # behind triangle passes uvw >= 0 and t <= 1 - eps and falsely
+        # shadows every receiver on the light's far side. Light at
+        # (0, 5, 0); receivers straight below at the origin. Triangles
+        # (all crossed by the x=0, z=0 line, all in ONE shared cluster):
+        #   y = 10: behind the light (t = -1)        -> must NOT shadow
+        #   y = -2: beyond the receiver (t = 1.4)    -> must NOT shadow
+        #   y =  2: strictly between (t = 0.6)       -> must shadow
+        def scene(*ys):
+            tri = np.asarray([[-1, 0, -1], [1, 0, -1], [0, 0, 1]],
+                             np.float32)
+            verts = np.concatenate(
+                [tri + np.asarray([0, y, 0], np.float32) for y in ys])
+            faces = np.arange(3 * len(ys), dtype=np.int32).reshape(-1, 3)
+            return triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                                 with_normals=False)
+
+        dest = jnp.asarray([0.0, 5.0, 0.0], jnp.float32)   # in scene AABB
+        recv = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        occ_clear = np.asarray(
+            mk.any_hit_to_point(scene(10.0, -2.0), dest, recv))
+        assert not bool(occ_clear[0])    # behind + beyond: lit
+        occ_blocked = np.asarray(
+            mk.any_hit_to_point(scene(10.0, -2.0, 2.0), dest, recv))
+        assert bool(occ_blocked[0])      # the between triangle shadows
+
 
 class TestRenderBackendEquivalence:
     def test_bunny_render_matches_bruteforce(self, bunny):
