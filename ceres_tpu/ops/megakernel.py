@@ -302,6 +302,10 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
         def _():
             steps_ref[0, 0] = 0
 
+        # Loop-invariant lane ids for the winner key packing (hoisted out
+        # of the walk loop: Mosaic does not CSE iota across iterations).
+        ids = jax.lax.broadcasted_iota(jnp.int32, (R, c_size), 1)
+
         total = 0
         for g in range(G):     # static unroll over the group's tiles
             count = cnt_ref[0, 0, g]
@@ -417,10 +421,16 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     cid = key_ref[0, g, k] & cmask
                     wj = fetch_weights(k)
                     ok, nd, nt = mt_accept(wj)
-                    inv = 1.0 / jnp.where(nd != 0, nd, 1.0)
-                    tpair = jnp.where(ok, nt * inv, _BIG_CLEAN)
-                    ids = jax.lax.broadcasted_iota(jnp.int32, tpair.shape,
-                                                   1)
+                    # Approximate reciprocal: t only feeds winner
+                    # SELECTION (the returned t/u/v are recomputed
+                    # exactly at the winners in plain JAX), so the
+                    # ~2^-14 relative error merely widens the existing
+                    # 2^-16 tie-break window from the cleared mantissa
+                    # bits. nd == 0 lanes produce inf/NaN which ok
+                    # (which requires nd != 0) masks to _BIG_CLEAN.
+                    tpair = jnp.where(ok, nt * pl.reciprocal(nd,
+                                                             approx=True),
+                                      _BIG_CLEAN)
                     keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
                              & ~imask) | ids)
                     kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE red.
