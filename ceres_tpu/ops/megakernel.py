@@ -80,6 +80,32 @@ _DEST_EPS = 4e-6      # t-window margin for common-destination occlusion
 # larger scenes switch to the double-buffered HBM streaming path.
 _RESIDENT_W_BYTES = 8 << 20
 
+# Above this many 128-triangle blocks the walk goes TWO-LEVEL: the dense
+# culling prepass + sort runs over SUPERS of S consecutive blocks (the
+# treelet order is spatially coherent, so consecutive blocks cluster),
+# and the kernel gates each member block with an in-kernel interval test
+# of the tile hull against the block's box (one vectorized slab test +
+# one gate-bitmask reduce per super visit; culled blocks skip their MT
+# matmul via lax.cond). S grows with the scene so the prepass stays
+# bounded at ~_SUPER_TARGET supers — the O(tiles x N_c) prepass ceiling
+# (and its 134 MB key tensor at ~1M triangles) becomes O(tiles x 1024)
+# regardless of scene size. Below the threshold the flat single-level
+# walk is unchanged.
+_HIER_MIN_CLUSTERS = 256
+_SUPER_TARGET = 1024
+_SUPER_MAX = 32   # gate bitmask lives in one int32
+
+
+def _super_factor(n_c: int) -> int:
+    """Blocks per super: 1 = flat walk; else 8..32, keeping the super
+    count near _SUPER_TARGET."""
+    if n_c <= _HIER_MIN_CLUSTERS:
+        return 1
+    s = 8
+    while -(-n_c // s) > _SUPER_TARGET and s < _SUPER_MAX:
+        s *= 2
+    return s
+
 # "No hit" sentinel whose low mantissa bits are zero (survives the winner
 # key's idx-bit clearing), and its int32 bit pattern.
 _BIG_CLEAN_I = int(np.float32(_BIG).view(np.int32) & ~np.int32(127))
@@ -220,6 +246,59 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     return lists, entry, counts
 
 
+def _super_pack(lo, hi, S):
+    """Group S consecutive blocks into supers (treelet order is spatially
+    coherent, so consecutive blocks cluster).
+
+    ``lo``/``hi`` are the (N_c, 3) block boxes ALREADY shifted into the
+    kernel's frame. Returns (super_lo, super_hi — the (n_s, 3) union
+    boxes for the phase-1 prepass, empty-aware) and the (n_s, 8, S)
+    member-box tensor the kernel gates with: rows 0-2 lo.xyz, 3-5
+    hi.xyz, 6 the empty flag, 7 pad (sublane-aligned).
+    """
+    n_c = lo.shape[0]
+    n_s = -(-n_c // S)
+    pad = n_s * S - n_c
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), 1.0, lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -1.0, hi.dtype)])
+    empty = jnp.any(hi < lo, axis=-1)                    # (n_s * S,)
+    lo_m = jnp.where(empty[:, None], _BIG, lo).reshape(n_s, S, 3)
+    hi_m = jnp.where(empty[:, None], -_BIG, hi).reshape(n_s, S, 3)
+    super_lo = lo_m.min(axis=1)
+    super_hi = hi_m.max(axis=1)
+    bbox = jnp.concatenate([
+        jnp.transpose(lo.reshape(n_s, S, 3), (0, 2, 1)),
+        jnp.transpose(hi.reshape(n_s, S, 3), (0, 2, 1)),
+        empty.reshape(n_s, 1, S).astype(lo.dtype),
+        jnp.zeros((n_s, 1, S), lo.dtype)], axis=1)
+    return super_lo, super_hi, bbox
+
+
+def _tile_hulls(dirs_tiled, alive, origins_tiled=None):
+    """(n_tiles, 16) per-tile hull scalars for the in-kernel block gate.
+
+    Layout per tile: [1/dlo.xyz, 1/dhi.xyz, straddle.xyz, olo.xyz,
+    ohi.xyz, pad] — the precomputed pieces of the _interval_entry test
+    (safe inverses of the direction-interval ends and the zero-straddle
+    flags), so the kernel's per-super gate is pure multiply/min/max on
+    the S member boxes. Common-origin wavefronts (origins_tiled=None)
+    get a zero origin hull: their boxes are pre-shifted.
+    """
+    dlo, dhi = _hull(dirs_tiled, alive)
+    ia = _safe_inverse(dlo)
+    ib = _safe_inverse(dhi)
+    st = ((dlo < 0) & (dhi > 0)).astype(dlo.dtype)
+    if origins_tiled is None:
+        olo = jnp.zeros_like(dlo)
+        ohi = jnp.zeros_like(dlo)
+    else:
+        olo, ohi = _hull(origins_tiled, alive)
+    n_t = dlo.shape[0]
+    return jnp.concatenate(
+        [ia, ib, st, olo, ohi, jnp.zeros((n_t, 1), dlo.dtype)], axis=-1)
+
+
 def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
     """Per-ray visit cap: exit distance from the scene's root AABB.
 
@@ -263,7 +342,7 @@ def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
 # ---------------------------------------------------------------------------
 
 def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
-                      tcap_col: int, mode: str, stream: bool):
+                      tcap_col: int, mode: str, stream: bool, S: int = 1):
     """One grid step per GROUP of G ray tiles: walk each tile's sorted
     candidate list FRONT TO BACK, early-exiting on the tile prune (see
     module docstring). Grouping amortizes Mosaic's fixed per-grid-step
@@ -276,26 +355,35 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
     int32 f32-bit-patterns (order-isomorphic for values >= 0; Mosaic has no
     scalar bitcast). ``stream=True`` swaps the VMEM-resident weight tensor
     for double-buffered HBM DMA driven by the candidate list.
+
+    ``S > 1`` is the TWO-LEVEL walk: each candidate is a SUPER of S
+    blocks; ``n_c`` then counts supers. Per super visit the kernel
+    interval-tests the tile hull (hull_ref scalars) against the S member
+    block boxes (bbox_ref, one vectorized slab test), reduces the passing
+    set to ONE gate bitmask scalar, and runs each passing block's MT
+    matmul under lax.cond — culled blocks cost ~nothing. The per-visit
+    gate is exactly the flat prepass's conservative test, deferred into
+    the kernel so the dense prepass + sort stay O(tiles x supers).
     """
     ibits = max(1, (c_size - 1).bit_length())
     imask = (1 << ibits) - 1
     cmask = (1 << _cid_bits(n_c)) - 1
     any_hit_mode = mode in ("any", "any_dest")
+    hier = S > 1
 
     def kernel(*refs):
-        if stream:
-            if any_hit_mode:
-                (cnt_ref, key_ref, f_ref, occ0_ref, w_hbm,
-                 out_ref, steps_ref, wbuf, sem) = refs
-            else:
-                (cnt_ref, key_ref, f_ref, w_hbm,
-                 out_ref, steps_ref, wbuf, sem) = refs
-        else:
-            if any_hit_mode:
-                (cnt_ref, key_ref, f_ref, occ0_ref, w_ref,
-                 out_ref, steps_ref) = refs
-            else:
-                cnt_ref, key_ref, f_ref, w_ref, out_ref, steps_ref = refs
+        refs = list(refs)
+        cnt_ref = refs.pop(0)
+        key_ref = refs.pop(0)
+        f_ref = refs.pop(0)
+        occ0_ref = refs.pop(0) if any_hit_mode else None
+        hull_ref = refs.pop(0) if hier else None
+        bbox_ref = refs.pop(0) if hier else None
+        w_ref = refs.pop(0)          # w_hbm when streaming
+        out_ref = refs.pop(0)
+        steps_ref = refs.pop(0)
+        wbuf = refs.pop(0) if stream else None
+        sem = refs.pop(0) if stream else None
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -305,6 +393,10 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
         # Loop-invariant lane ids for the winner key packing (hoisted out
         # of the walk loop: Mosaic does not CSE iota across iterations).
         ids = jax.lax.broadcasted_iota(jnp.int32, (R, c_size), 1)
+        bitvals = None
+        if hier:
+            bitvals = jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (1, S), 1)
 
         total = 0
         for g in range(G):     # static unroll over the group's tiles
@@ -326,17 +418,61 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
             if stream:
                 def start_fetch(k):
                     cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
-                    pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                    pltpu.make_async_copy(w_ref.at[cid], wbuf.at[k % 2],
                                           sem.at[k % 2]).start()
 
                 def wait_fetch(k):
                     cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
-                    pltpu.make_async_copy(w_hbm.at[cid], wbuf.at[k % 2],
+                    pltpu.make_async_copy(w_ref.at[cid], wbuf.at[k % 2],
                                           sem.at[k % 2]).wait()
 
                 @pl.when(count > 0)
                 def _():
                     start_fetch(0)
+
+            if hier:
+                # Per-tile hull scalars (precomputed in phase 1): safe
+                # inverses of the direction-interval ends, straddle
+                # flags, and the origin hull (zeros for common-origin
+                # wavefronts whose boxes are pre-shifted).
+                ia = [hull_ref[0, g, a] for a in range(3)]
+                ib = [hull_ref[0, g, 3 + a] for a in range(3)]
+                sf = [hull_ref[0, g, 6 + a] for a in range(3)]
+                olo = [hull_ref[0, g, 9 + a] for a in range(3)]
+                ohi = [hull_ref[0, g, 12 + a] for a in range(3)]
+
+                def block_gate_bits(sid, prune_i):
+                    """Gate bitmask over the S member blocks of super
+                    ``sid``: bit s set iff the tile hull's conservative
+                    slab entry to block s's box is within the prune —
+                    the _interval_entry test vectorized on S lanes, one
+                    sum-reduce to a scalar mask."""
+                    bb = bbox_ref[sid]                       # (8, S)
+                    tn = None
+                    tf = None
+                    for a in range(3):
+                        la = bb[a:a + 1, :] - ohi[a]
+                        ha = bb[3 + a:4 + a, :] - olo[a]
+                        c0 = la * ia[a]
+                        c1 = la * ib[a]
+                        c2 = ha * ia[a]
+                        c3 = ha * ib[a]
+                        emin = jnp.minimum(jnp.minimum(c0, c1),
+                                           jnp.minimum(c2, c3))
+                        emax = jnp.maximum(jnp.maximum(c0, c1),
+                                           jnp.maximum(c2, c3))
+                        wide = sf[a] > 0
+                        emin = jnp.where(wide, -_BIG, emin)
+                        emax = jnp.where(wide, _BIG, emax)
+                        tn = emin if tn is None else jnp.maximum(tn, emin)
+                        tf = emax if tf is None else jnp.minimum(tf, emax)
+                    tn = jnp.maximum(tn, 0.0)
+                    okb = (tn * (1.0 - _ULP_PAD)
+                           <= jnp.minimum(tf, _BIG) * (1.0 + _ULP_PAD))
+                    okb = okb & (bb[6:7, :] == 0.0)
+                    ent_i = jax.lax.bitcast_convert_type(
+                        jnp.where(okb, tn, _BIG), jnp.int32)
+                    return jnp.sum(jnp.where(ent_i <= prune_i, bitvals, 0))
 
             def cond(state):
                 k, prune_i = state[0], state[1]
@@ -399,7 +535,55 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     return wbuf[k % 2]
                 return w_ref[key_ref[0, g, k] & cmask]
 
-            if any_hit_mode:
+            def winner_update(wj, bid, t_i, pid):
+                """MT accept + per-visit winner selection for one block."""
+                ok, nd, nt = mt_accept(wj)
+                # Approximate reciprocal: t only feeds winner SELECTION
+                # (the returned t/u/v are recomputed exactly at the
+                # winners in plain JAX), so the ~2^-14 relative error
+                # merely widens the existing 2^-16 tie-break window from
+                # the cleared mantissa bits. nd == 0 lanes produce
+                # inf/NaN which ok (which requires nd != 0) masks to
+                # _BIG_CLEAN.
+                tpair = jnp.where(ok, nt * pl.reciprocal(nd, approx=True),
+                                  _BIG_CLEAN)
+                keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
+                         & ~imask) | ids)
+                kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE reduce
+                t_new = kmin & ~imask
+                better = t_new < t_i
+                t_i = jnp.where(better, t_new, t_i)
+                pid = jnp.where(better, bid * c_size + (kmin & imask), pid)
+                return t_i, pid
+
+            if any_hit_mode and hier:
+                def body(state):
+                    k, prune_i, occ, nvis = state
+                    sid = key_ref[0, g, k] & cmask
+                    wsup = fetch_weights(k) if stream else None
+                    bits = block_gate_bits(sid, prune_i)
+                    st = (occ, nvis)
+                    for s in range(S):
+                        def visit(stv, s=s):
+                            occ_, nv_ = stv
+                            wj = wsup[s] if stream else w_ref[sid * S + s]
+                            ok, _, _ = mt_accept(wj)
+                            occ_ = occ_ | jnp.max(jnp.where(ok, 1, 0),
+                                                  axis=1, keepdims=True)
+                            return occ_, nv_ + 1
+                        st = jax.lax.cond(((bits >> s) & 1) != 0, visit,
+                                          lambda stv: stv, st)
+                    occ, nvis = st
+                    prune_i = (jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i))
+                               + 256)
+                    return k + 1, prune_i, occ, nvis
+
+                occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
+                prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
+                k, _, occ, nvis = jax.lax.while_loop(
+                    cond, body, (0, prune0, occ0, 0))
+                out_ref[g * R:(g + 1) * R] = occ.reshape(R)
+            elif any_hit_mode:
                 def body(state):
                     k, prune_i, occ = state
                     wj = fetch_weights(k)
@@ -414,31 +598,40 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
                 state = jax.lax.while_loop(cond, body, (0, prune0, occ0))
                 k, _, occ = state
+                nvis = k
                 out_ref[g * R:(g + 1) * R] = occ.reshape(R)
+            elif hier:
+                def body(state):
+                    k, prune_i, t_i, pid, nvis = state
+                    sid = key_ref[0, g, k] & cmask
+                    wsup = fetch_weights(k) if stream else None
+                    bits = block_gate_bits(sid, prune_i)
+                    st = (t_i, pid, nvis)
+                    for s in range(S):
+                        def visit(stv, s=s):
+                            t_, pid_, nv_ = stv
+                            wj = wsup[s] if stream else w_ref[sid * S + s]
+                            t_, pid_ = winner_update(wj, sid * S + s, t_,
+                                                     pid_)
+                            return t_, pid_, nv_ + 1
+                        st = jax.lax.cond(((bits >> s) & 1) != 0, visit,
+                                          lambda stv: stv, st)
+                    t_i, pid, nvis = st
+                    prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
+                    return k + 1, prune_i, t_i, pid, nvis
+
+                t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
+                pid0 = jnp.full((R, 1), -1, jnp.int32)
+                prune0 = jnp.max(tcap_i) + 256
+                k, _, _, pid, nvis = jax.lax.while_loop(
+                    cond, body, (0, prune0, t0, pid0, 0))
+                out_ref[g * R:(g + 1) * R] = pid.reshape(R)
             else:
                 def body(state):
                     k, prune_i, t_i, pid = state
                     cid = key_ref[0, g, k] & cmask
                     wj = fetch_weights(k)
-                    ok, nd, nt = mt_accept(wj)
-                    # Approximate reciprocal: t only feeds winner
-                    # SELECTION (the returned t/u/v are recomputed
-                    # exactly at the winners in plain JAX), so the
-                    # ~2^-14 relative error merely widens the existing
-                    # 2^-16 tie-break window from the cleared mantissa
-                    # bits. nd == 0 lanes produce inf/NaN which ok
-                    # (which requires nd != 0) masks to _BIG_CLEAN.
-                    tpair = jnp.where(ok, nt * pl.reciprocal(nd,
-                                                             approx=True),
-                                      _BIG_CLEAN)
-                    keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
-                             & ~imask) | ids)
-                    kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE red.
-                    t_new = kmin & ~imask
-                    better = t_new < t_i
-                    t_i = jnp.where(better, t_new, t_i)
-                    pid = jnp.where(better, cid * c_size + (kmin & imask),
-                                    pid)
+                    t_i, pid = winner_update(wj, cid, t_i, pid)
                     prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
                     return k + 1, prune_i, t_i, pid
 
@@ -448,6 +641,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 state = jax.lax.while_loop(cond, body,
                                            (0, prune0, t0, pid0))
                 k, _, _, pid = state
+                nvis = k
                 out_ref[g * R:(g + 1) * R] = pid.reshape(R)
             if stream:
                 # Drain the in-flight prefetch a prune early-exit left
@@ -456,16 +650,16 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 @pl.when(k < count)
                 def _():
                     wait_fetch(k)
-            total = total + k
+            total = total + nvis
         steps_ref[0, 0] += total
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("tcap_col", "mode",
-                                             "stream", "interpret"))
-def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
-                 mode, stream, interpret):
+                                             "stream", "interpret", "S"))
+def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
+                 *, tcap_col, mode, stream, interpret, S=1):
     """Launch the walk kernel over all tiles. Returns (out, steps).
 
     feats is CHANNEL-FIRST (Kp, n_tiles * R) — rays on the dense lane
@@ -474,13 +668,24 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
     out is flat (n_tiles * R,) int32 — packed winner slot ids (closest
     mode, -1 = miss) or occlusion flags (any-hit mode); 1-D keeps the
     buffer dense (a (tiles, R, 1) form is lane-padded 128x by XLA).
-    steps is the MEASURED total of executed cluster visits (the
+    steps is the MEASURED total of executed block visits (the
     Statistics capability, single_ray_traverser.hpp:131-163).
+
+    ``S > 1`` selects the two-level walk: ``keys``/``counts`` are then
+    per-SUPER (n_tiles, n_s) candidates, ``w`` holds n_s * S blocks
+    (zero-padded), ``hull`` is the (n_tiles, 16) per-tile hull-scalar
+    table and ``bbox`` the (n_s, 8, S) member-block box tensor.
     """
     Kp, R_total = feats.shape
     n_tiles = counts.shape[0]
     R = R_total // n_tiles
-    n_c, _, C4 = w.shape
+    if S > 1:
+        n_s = bbox.shape[0]
+        n_c = n_s                      # candidate-list width = supers
+        C4 = w.shape[-1]
+        w = w.reshape(n_s, S, Kp, C4) if stream else w
+    else:
+        n_c, _, C4 = w.shape
     any_hit_mode = mode in ("any", "any_dest")
     G = min(_GROUP_TILES, n_tiles)
     pad_t = (-n_tiles) % G
@@ -492,6 +697,8 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
         feats = jnp.pad(feats, ((0, 0), (0, pad_t * R)))
         if occ0 is not None:
             occ0 = jnp.pad(occ0, (0, pad_t * R))
+        if hull is not None:
+            hull = jnp.pad(hull, ((0, pad_t), (0, 0)))
     n_groups = (n_tiles + pad_t) // G
     in_specs = [
         pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0),
@@ -507,14 +714,27 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
         in_specs.append(pl.BlockSpec((G * R,), lambda i: (i,),
                                      memory_space=pltpu.VMEM))
         args.append(occ0)
-    in_specs.append(
-        pl.BlockSpec(memory_space=pl.ANY) if stream else
-        pl.BlockSpec((n_c, Kp, C4), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM))
+    if S > 1:
+        in_specs.append(pl.BlockSpec((1, G, 16), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(hull.reshape(n_groups, G, 16))
+        in_specs.append(pl.BlockSpec((n_s, 8, S), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bbox)
+    if stream:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    elif S > 1:
+        in_specs.append(pl.BlockSpec((n_s * S, Kp, C4),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec((n_c, Kp, C4), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     args.append(w)
+    wbuf_shape = (2, S, Kp, C4) if S > 1 else (2, Kp, C4)
     out, steps = pl.pallas_call(
         _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, mode,
-                          stream),
+                          stream, S),
         grid_spec=pl.GridSpec(
             grid=(n_groups,),
             in_specs=in_specs,
@@ -524,7 +744,7 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, *, tcap_col,
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            scratch_shapes=([pltpu.VMEM((2, Kp, C4), jnp.float32),
+            scratch_shapes=([pltpu.VMEM(wbuf_shape, jnp.float32),
                              pltpu.SemaphoreType.DMA((2,))] if stream
                             else []),
         ),
@@ -619,6 +839,26 @@ def _scene_root(cs):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _hier_setup(lo, hi, dirs_tiled, alive, origins_tiled, w):
+    """Choose flat vs two-level walk and build the super-level inputs.
+
+    Returns (S, hull, bbox, cull_lo, cull_hi, w): for S == 1 the inputs
+    pass through untouched (flat walk); for S > 1 the phase-1 culling
+    boxes become the super unions, ``w`` is zero-padded to n_s * S
+    blocks, and the kernel gets the per-tile hull table + member-box
+    tensor for in-kernel block gating.
+    """
+    S = _super_factor(lo.shape[0])
+    if S == 1:
+        return S, None, None, lo, hi, w
+    super_lo, super_hi, bbox = _super_pack(lo, hi, S)
+    hull = _tile_hulls(dirs_tiled, alive, origins_tiled)
+    pad = bbox.shape[0] * S - w.shape[0]
+    if pad:
+        w = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
+    return S, hull, bbox, super_lo, super_hi, w
+
+
 def _closest_search(cs, eye, dir_cols):
     """Detached winner search: packed slot ids + counters (no gradients)."""
     cs, eye, dir_cols = jax.lax.stop_gradient((cs, eye, dir_cols))
@@ -629,12 +869,17 @@ def _closest_search(cs, eye, dir_cols):
     root_lo, root_hi = _scene_root(cs)
     dp = tuple(_pad_rays(c) for c in dir_cols)
     dirs_tiled = tuple(c.reshape(-1, TILE) for c in dp)
+    alive = (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
+             + dirs_tiled[2] * dirs_tiled[2]) > 0.0
     tcap = _ray_tcap(root_lo - eye, root_hi - eye, None, dp)
     feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
-    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled)
+    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, None, w)
+    keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
+                                        alive=alive)
     pidx, steps = _walk_pallas(
-        counts, keys, feats, w, tcap_col=4,
-        mode="closest", stream=_use_stream(w), interpret=_interpret())
+        counts, keys, feats, w, hull=hull, bbox=bbox, tcap_col=4,
+        mode="closest", stream=_use_stream(w), interpret=_interpret(), S=S)
     steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
                                   "mt_block_visits": steps}
@@ -803,11 +1048,13 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     tcap = _ray_tcap(root_lo - shift, root_hi - shift, op, dp)
     feats = _feats_from_cols(dp + dxo + op, w.shape[1], tcap=tcap)
     occ0 = skip_p.astype(jnp.int32)
-    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, orig_tiled,
-                                        alive)
+    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, orig_tiled, w)
+    keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
+                                        orig_tiled, alive)
     occ, steps = _walk_pallas(
-        counts, keys, feats, w, occ0, tcap_col=10,
-        mode="any", stream=_use_stream(w), interpret=_interpret())
+        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, tcap_col=10,
+        mode="any", stream=_use_stream(w), interpret=_interpret(), S=S)
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:
@@ -868,10 +1115,13 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
     tcap = jnp.minimum(tcap, 1.0 + _ULP_PAD)
     feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
     occ0 = skip_p.astype(jnp.int32)
-    keys, counts = _tile_candidate_keys(lo, hi, dirs_tiled, alive=alive)
+    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, None, w)
+    keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
+                                        alive=alive)
     occ, steps = _walk_pallas(
-        counts, keys, feats, w, occ0, tcap_col=4,
-        mode="any_dest", stream=_use_stream(w), interpret=_interpret())
+        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, tcap_col=4,
+        mode="any_dest", stream=_use_stream(w), interpret=_interpret(), S=S)
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:

@@ -199,27 +199,19 @@ def render_wavefront_cols(
             # Physically-correct segment test, and the fast path: all
             # shadow rays share the sun, so they run as a common-origin
             # wavefront FROM the sun (K=4 features, tight tile hulls).
-            # The wavefront is COMPACTED first: a stable partition
-            # (argsort of the miss mask — stable, so the swizzled
-            # pixel-block order survives within the hit run) packs the
-            # primary-hit rays into the leading kernel tiles. Miss
-            # pixels otherwise burn lanes in every mixed tile at the
-            # object silhouette, and with typical hit fractions well
-            # under 50% most shadow tiles are mixed; trailing all-skip
-            # tiles exit the walk immediately.
-            R = dir_cols[0].shape[0]
-            miss_i = (~mask).astype(jnp.int32)
-            order = jax.lax.stop_gradient(jnp.argsort(miss_i, stable=True))
-            n_hit = jnp.sum(mask)
-            pt_c = tuple(c[order] for c in point)
-            skip_c = jnp.arange(R, dtype=jnp.int32) >= n_hit
+            # Miss pixels ride along as skip-masked lanes. NOTE a
+            # stable-partition compaction of the wavefront to hit rays
+            # was tried and REJECTED: the argsort + three 1-D point
+            # gathers + occlusion scatter cost ~61 ms/frame at 1080p on
+            # TPU (1-D gathers lower to scalar loops; sorts are bitonic
+            # passes) against ~5 ms of recoverable mixed-tile lane
+            # waste. Skip-masked lanes never extend a tile's prune, and
+            # all-miss tiles exit the walk immediately, so the waste is
+            # bounded to mixed silhouette tiles.
             res2 = megakernel.any_hit_to_point(
-                soup, sun_position, pt_c, skip=skip_c,
+                soup, sun_position, point, skip=~mask,
                 clusters=clusters, with_counts=want_counts)
         occluded, counts2 = res2 if want_counts else (res2, None)
-        if not config.reference_compat:
-            # Scatter the compacted occlusion flags back to pixel order.
-            occluded = jnp.zeros((R,), bool).at[order].set(occluded)
     else:
         occluded = jnp.zeros_like(mask)
 

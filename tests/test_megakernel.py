@@ -210,6 +210,71 @@ class TestAnyHitToPoint:
         assert bool(occ_blocked[0])      # the between triangle shadows
 
 
+class TestHierarchicalWalk:
+    """The two-level walk (super candidates + in-kernel block gating)
+    must match the flat walk exactly on every mode. Forced on tiny
+    scenes by dropping the cluster threshold."""
+
+    def _force_hier(self, monkeypatch):
+        monkeypatch.setattr(mk, "_HIER_MIN_CLUSTERS", 1)
+
+    def test_closest_matches_flat(self, rng, monkeypatch):
+        soup = _random_scene(rng, V=200, F=400)
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        dirs = _random_dirs(rng, 600)
+        flat = mk.closest_hit_common_origin(soup, eye, dirs)
+        self._force_hier(monkeypatch)
+        hier = mk.closest_hit_common_origin(soup, eye, dirs)
+        np.testing.assert_array_equal(np.asarray(flat.mask),
+                                      np.asarray(hier.mask))
+        m = np.asarray(flat.mask)
+        assert (np.asarray(flat.prim_id)[m]
+                == np.asarray(hier.prim_id)[m]).mean() > 0.99
+        np.testing.assert_allclose(np.asarray(flat.t)[m],
+                                   np.asarray(hier.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_any_matches_flat(self, rng, monkeypatch):
+        soup = _random_scene(rng, V=200, F=400)
+        R = 400
+        origins = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.1
+            + np.array([0, 0, -4], np.float32))
+        dirs = _random_dirs(rng, R)
+        center = jnp.mean(soup.p0, axis=0)
+        flat = np.asarray(mk.any_hit(soup, center, origins, dirs))
+        self._force_hier(monkeypatch)
+        hier = np.asarray(mk.any_hit(soup, center, origins, dirs))
+        np.testing.assert_array_equal(flat, hier)
+
+    def test_any_dest_matches_flat(self, rng, monkeypatch):
+        soup = _random_scene(rng, V=200, F=400)
+        R = 400
+        points = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.1)
+        dest = jnp.asarray([30.0, 45.0, -20.0], jnp.float32)
+        flat = np.asarray(mk.any_hit_to_point(soup, dest, points))
+        self._force_hier(monkeypatch)
+        hier = np.asarray(mk.any_hit_to_point(soup, dest, points))
+        np.testing.assert_array_equal(flat, hier)
+
+    def test_streamed_hier_matches(self, rng, monkeypatch):
+        # Two-level walk + the double-buffered super-granular DMA path.
+        soup = _random_scene(rng, V=200, F=400)
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        dirs = _random_dirs(rng, 600)
+        flat = mk.closest_hit_common_origin(soup, eye, dirs)
+        self._force_hier(monkeypatch)
+        monkeypatch.setattr(mk, "_RESIDENT_W_BYTES", 0)
+        hier = mk.closest_hit_common_origin(soup, eye, dirs)
+        np.testing.assert_array_equal(np.asarray(flat.mask),
+                                      np.asarray(hier.mask))
+        m = np.asarray(flat.mask)
+        np.testing.assert_allclose(np.asarray(flat.t)[m],
+                                   np.asarray(hier.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestRenderBackendEquivalence:
     def test_bunny_render_matches_bruteforce(self, bunny):
         verts, faces = bunny
