@@ -18,6 +18,7 @@ Per-triangle quantities stay differentiable w.r.t. the input soup; only the
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,9 @@ import jax.numpy as jnp
 from ceres_tpu.accel import morton
 from ceres_tpu.models.mesh import TriangleSoup
 
-CLUSTER_SIZE = 128  # triangles per cluster: one f32 lane row
+# Triangles per cluster: one f32 lane row. Env-overridable (read once at
+# import) for on-chip block-size sweeps; 128 is the measured optimum.
+CLUSTER_SIZE = int(os.environ.get("CERES_CLUSTER_SIZE", 128))
 
 # The megakernel's winner table carries the original triangle id as an f32
 # VALUE (exact only in a 24-bit mantissa); guard the limit where the perm

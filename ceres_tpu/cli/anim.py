@@ -50,9 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: one full mesh-sized batch at a time)")
     p.add_argument("-d", "--double", action="store_true",
                    help="render in float64 — the reference anim app's one "
-                        "real flag (anim.cpp:145-158); forces the "
-                        "bruteforce backend (the megakernel is f32 TPU "
-                        "hardware)")
+                        "real flag (anim.cpp:145-158). On the megakernel "
+                        "backend the search runs the f32 TPU datapath and "
+                        "all values (t/u/v, shading) are recomputed in f64 "
+                        "at the winners; use --backend bruteforce for the "
+                        "all-f64 O(R x T) oracle")
     p.add_argument("--save-frames", metavar="DIR", default=None,
                    help="write each frame to DIR/frame_NNNN.png as soon as "
                         "it is rendered; on restart, already-written frames "
@@ -86,10 +88,6 @@ def run(args) -> int:
 
     if args.double:
         jax.config.update("jax_enable_x64", True)
-        if args.backend == "megakernel":
-            print("note: --double uses the bruteforce backend "
-                  "(the megakernel is f32 TPU hardware)")
-            args.backend = "bruteforce"
 
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="megakernel")
     p.add_argument("--no-shadows", action="store_true",
                    help="skip shadow rays")
+    p.add_argument("--sphere", action="append", nargs=4, type=float,
+                   default=None, metavar=("X", "Y", "Z", "R"),
+                   help="add a sphere primitive (bvh::Sphere, "
+                        "sphere.hpp:13-61) at (X, Y, Z) with radius R; "
+                        "repeatable")
     p.add_argument("--sharded", action="store_true",
                    help="shard rays across all available devices")
     p.add_argument("--primitive-sharded", action="store_true",
@@ -55,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(for scenes exceeding one chip's memory)")
     p.add_argument("-d", "--double", action="store_true",
                    help="render in float64 (the reference's '-d' Scalar "
-                        "axis, anim.cpp:145-158); forces the bruteforce "
-                        "backend")
+                        "axis, anim.cpp:145-158). On the megakernel "
+                        "backend the search runs the f32 TPU datapath and "
+                        "all values are recomputed in f64 at the winners; "
+                        "use --backend bruteforce for the all-f64 oracle")
     return p
 
 
@@ -67,10 +74,6 @@ def run(args) -> int:
         import jax
 
         jax.config.update("jax_enable_x64", True)
-        if args.backend == "megakernel":
-            print("note: --double uses the bruteforce backend "
-                  "(the megakernel is f32 TPU hardware)")
-            args.backend = "bruteforce"
 
     from ceres_tpu.io.obj import load_obj
     from ceres_tpu.models.camera import Camera
@@ -100,6 +103,14 @@ def run(args) -> int:
     camera = Camera.make(eye=eye, dir=direction, up=args.up, fov=args.fov,
                          dtype=scalar)
     sun = np.asarray(args.sun, scalar)
+    spheres = None
+    if args.sphere:
+        sp = np.asarray(args.sphere, scalar)           # (S, 4)
+        spheres = (sp[:, :3], sp[:, 3])
+        if args.sharded or args.primitive_sharded:
+            print("Error: --sphere is single-device only (use the plain "
+                  "render path)", file=sys.stderr)
+            return 1
 
     t1 = time.perf_counter()
     if args.primitive_sharded:
@@ -120,7 +131,7 @@ def run(args) -> int:
         image, stats = render(
             vertices, faces, camera, sun, width=args.width,
             height=args.height, mode=args.mode, backend=args.backend,
-            shadows=not args.no_shadows)
+            shadows=not args.no_shadows, spheres=spheres)
     image = np.asarray(image)
     dt = time.perf_counter() - t1
 

@@ -54,6 +54,7 @@ mantissa bits only affects tie-breaks among hits within 2^-16 relative.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -66,8 +67,12 @@ from ceres_tpu.accel import clusters as cl
 from ceres_tpu.models.mesh import TriangleSoup
 from ceres_tpu.ops.intersect import Hit
 
-TILE = 512         # rays per culling tile (= one 16 x 32 pixel block)
-_GROUP_TILES = 8   # tiles walked per Pallas grid step (fixed-cost amortizer)
+# Rays per culling tile (= one 16 x 32 pixel block) and tiles walked per
+# Pallas grid step (fixed-cost amortizer). Env-overridable tuning knobs
+# (read once at import) for on-chip sweeps; the defaults are the measured
+# optimum on bunny/dragon 1080p.
+TILE = int(os.environ.get("CERES_TILE", 512))
+_GROUP_TILES = int(os.environ.get("CERES_GROUP_TILES", 8))
 
 _BIG = 3.0e37      # "no hit yet" sentinel, finite to keep slab math NaN-free
 _VALID_CUT = 1.0e37  # entries >= this are padding, never real candidates
@@ -90,8 +95,11 @@ _RESIDENT_W_BYTES = 8 << 20
 # bounded at ~_SUPER_TARGET supers — the O(tiles x N_c) prepass ceiling
 # (and its 134 MB key tensor at ~1M triangles) becomes O(tiles x 1024)
 # regardless of scene size. Below the threshold the flat single-level
-# walk is unchanged.
-_HIER_MIN_CLUSTERS = 256
+# walk is unchanged: the in-kernel gating carries real per-super
+# overhead, so the two-level walk only pays off once the dense prepass
+# and its per-tile sort are the growing term (measured: dragon's 368
+# blocks run ~2x faster flat; the crossover sits in the thousands).
+_HIER_MIN_CLUSTERS = 2048
 _SUPER_TARGET = 1024
 _SUPER_MAX = 32   # gate bitmask lives in one int32
 
@@ -342,7 +350,8 @@ def _ray_tcap(root_lo, root_hi, origin_cols, dir_cols):
 # ---------------------------------------------------------------------------
 
 def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
-                      tcap_col: int, mode: str, stream: bool, S: int = 1):
+                      tcap_col: int, mode: str, stream: bool, S: int = 1,
+                      window: bool = False):
     """One grid step per GROUP of G ray tiles: walk each tile's sorted
     candidate list FRONT TO BACK, early-exiting on the tile prune (see
     module docstring). Grouping amortizes Mosaic's fixed per-grid-step
@@ -393,10 +402,9 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
         # Loop-invariant lane ids for the winner key packing (hoisted out
         # of the walk loop: Mosaic does not CSE iota across iterations).
         ids = jax.lax.broadcasted_iota(jnp.int32, (R, c_size), 1)
-        bitvals = None
+        bitlane = None
         if hier:
-            bitvals = jnp.int32(1) << jax.lax.broadcasted_iota(
-                jnp.int32, (1, S), 1)
+            bitlane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
         total = 0
         for g in range(G):     # static unroll over the group's tiles
@@ -414,6 +422,11 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
             # visit.
             tcap_i = jax.lax.bitcast_convert_type(
                 f[tcap_col:tcap_col + 1, :].reshape(R, 1), jnp.int32)
+            if window:
+                # Per-ray [tmin, tmax] accept window (bvh::Ray semantics,
+                # ray.hpp:9-23) riding the next two spare feature rows.
+                tmin_f = f[tcap_col + 1:tcap_col + 2, :].reshape(R, 1)
+                tmax_f = f[tcap_col + 2:tcap_col + 3, :].reshape(R, 1)
 
             if stream:
                 def start_fetch(k):
@@ -441,12 +454,13 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 olo = [hull_ref[0, g, 9 + a] for a in range(3)]
                 ohi = [hull_ref[0, g, 12 + a] for a in range(3)]
 
-                def block_gate_bits(sid, prune_i):
-                    """Gate bitmask over the S member blocks of super
-                    ``sid``: bit s set iff the tile hull's conservative
-                    slab entry to block s's box is within the prune —
-                    the _interval_entry test vectorized on S lanes, one
-                    sum-reduce to a scalar mask."""
+                def block_entries(sid):
+                    """Int-key entry bounds of the tile hull against the
+                    S member block boxes of super ``sid`` — the
+                    _interval_entry test vectorized on S lanes. Each
+                    block is later gated against the LIVE prune (updated
+                    after every visit), preserving the flat walk's
+                    front-to-back early-exit at block granularity."""
                     bb = bbox_ref[sid]                       # (8, S)
                     tn = None
                     tf = None
@@ -470,9 +484,14 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     okb = (tn * (1.0 - _ULP_PAD)
                            <= jnp.minimum(tf, _BIG) * (1.0 + _ULP_PAD))
                     okb = okb & (bb[6:7, :] == 0.0)
-                    ent_i = jax.lax.bitcast_convert_type(
-                        jnp.where(okb, tn, _BIG), jnp.int32)
-                    return jnp.sum(jnp.where(ent_i <= prune_i, bitvals, 0))
+                    return jax.lax.bitcast_convert_type(
+                        jnp.where(okb, tn, _BIG), jnp.int32)   # (1, S)
+
+                def block_entry_at(ent_i, s):
+                    """Scalar int entry of block ``s`` (masked min-reduce
+                    — Mosaic has no vector-lane scalar extraction)."""
+                    return jnp.min(jnp.where(bitlane == s, ent_i,
+                                             jnp.int32(0x7FFFFFFF)))
 
             def cond(state):
                 k, prune_i = state[0], state[1]
@@ -547,6 +566,9 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 # _BIG_CLEAN.
                 tpair = jnp.where(ok, nt * pl.reciprocal(nd, approx=True),
                                   _BIG_CLEAN)
+                if window:
+                    tpair = jnp.where((tpair >= tmin_f) & (tpair <= tmax_f),
+                                      tpair, _BIG_CLEAN)
                 keys = ((jax.lax.bitcast_convert_type(tpair, jnp.int32)
                          & ~imask) | ids)
                 kmin = jnp.min(keys, axis=1, keepdims=True)  # ONE reduce
@@ -561,34 +583,38 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     k, prune_i, occ, nvis = state
                     sid = key_ref[0, g, k] & cmask
                     wsup = fetch_weights(k) if stream else None
-                    bits = block_gate_bits(sid, prune_i)
-                    st = (occ, nvis)
+                    ent_i = block_entries(sid)
+                    # (occ, nvis, prune): the prune refreshes after every
+                    # gated visit so later blocks of the same super see
+                    # occlusions found by earlier ones.
+                    st = (occ, nvis, prune_i)
                     for s in range(S):
                         def visit(stv, s=s):
-                            occ_, nv_ = stv
+                            occ_, nv_, _ = stv
                             wj = wsup[s] if stream else w_ref[sid * S + s]
                             ok, _, _ = mt_accept(wj)
-                            occ_ = occ_ | jnp.max(jnp.where(ok, 1, 0),
-                                                  axis=1, keepdims=True)
-                            return occ_, nv_ + 1
-                        st = jax.lax.cond(((bits >> s) & 1) != 0, visit,
-                                          lambda stv: stv, st)
-                    occ, nvis = st
-                    prune_i = (jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i))
-                               + 256)
+                            occ_ = occ_ | jnp.max(
+                                jnp.where(ok, jnp.int32(1), jnp.int32(0)),
+                                axis=1, keepdims=True)
+                            pr_ = (jnp.max(jnp.where(occ_ > 0, _NEG_I,
+                                                     tcap_i)) + 256)
+                            return occ_, nv_ + 1, pr_
+                        st = jax.lax.cond(block_entry_at(ent_i, s) <= st[2],
+                                          visit, lambda stv: stv, st)
+                    occ, nvis, prune_i = st
                     return k + 1, prune_i, occ, nvis
 
                 occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
                 prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
                 k, _, occ, nvis = jax.lax.while_loop(
-                    cond, body, (0, prune0, occ0, 0))
+                    cond, body, (jnp.int32(0), prune0, occ0, jnp.int32(0)))
                 out_ref[g * R:(g + 1) * R] = occ.reshape(R)
             elif any_hit_mode:
                 def body(state):
                     k, prune_i, occ = state
                     wj = fetch_weights(k)
                     ok, _, _ = mt_accept(wj)
-                    occ = occ | jnp.max(jnp.where(ok, 1, 0), axis=1,
+                    occ = occ | jnp.max(jnp.where(ok, jnp.int32(1), jnp.int32(0)), axis=1,
                                         keepdims=True)
                     prune_i = (jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i))
                                + 256)
@@ -596,7 +622,8 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
 
                 occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
                 prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
-                state = jax.lax.while_loop(cond, body, (0, prune0, occ0))
+                state = jax.lax.while_loop(cond, body,
+                                           (jnp.int32(0), prune0, occ0))
                 k, _, occ = state
                 nvis = k
                 out_ref[g * R:(g + 1) * R] = occ.reshape(R)
@@ -605,26 +632,34 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     k, prune_i, t_i, pid, nvis = state
                     sid = key_ref[0, g, k] & cmask
                     wsup = fetch_weights(k) if stream else None
-                    bits = block_gate_bits(sid, prune_i)
-                    st = (t_i, pid, nvis)
+                    ent_i = block_entries(sid)
+                    # The prune refreshes after every gated visit so later
+                    # blocks of the same super are pruned by hits found in
+                    # earlier ones — without this, a super's whole
+                    # hull-passing membership runs with the stale pre-super
+                    # prune (measured 2x slower than the flat walk on
+                    # dragon 1080p: executed visits degenerate to the
+                    # scheduled count).
+                    st = (t_i, pid, nvis, prune_i)
                     for s in range(S):
                         def visit(stv, s=s):
-                            t_, pid_, nv_ = stv
+                            t_, pid_, nv_, _ = stv
                             wj = wsup[s] if stream else w_ref[sid * S + s]
                             t_, pid_ = winner_update(wj, sid * S + s, t_,
                                                      pid_)
-                            return t_, pid_, nv_ + 1
-                        st = jax.lax.cond(((bits >> s) & 1) != 0, visit,
-                                          lambda stv: stv, st)
-                    t_i, pid, nvis = st
-                    prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
+                            pr_ = jnp.max(jnp.minimum(t_, tcap_i)) + 256
+                            return t_, pid_, nv_ + 1, pr_
+                        st = jax.lax.cond(block_entry_at(ent_i, s) <= st[3],
+                                          visit, lambda stv: stv, st)
+                    t_i, pid, nvis, prune_i = st
                     return k + 1, prune_i, t_i, pid, nvis
 
                 t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
                 pid0 = jnp.full((R, 1), -1, jnp.int32)
                 prune0 = jnp.max(tcap_i) + 256
                 k, _, _, pid, nvis = jax.lax.while_loop(
-                    cond, body, (0, prune0, t0, pid0, 0))
+                    cond, body,
+                    (jnp.int32(0), prune0, t0, pid0, jnp.int32(0)))
                 out_ref[g * R:(g + 1) * R] = pid.reshape(R)
             else:
                 def body(state):
@@ -638,8 +673,8 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
                 pid0 = jnp.full((R, 1), -1, jnp.int32)
                 prune0 = jnp.max(tcap_i) + 256
-                state = jax.lax.while_loop(cond, body,
-                                           (0, prune0, t0, pid0))
+                state = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), prune0, t0, pid0))
                 k, _, _, pid = state
                 nvis = k
                 out_ref[g * R:(g + 1) * R] = pid.reshape(R)
@@ -657,9 +692,10 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tcap_col", "mode",
-                                             "stream", "interpret", "S"))
+                                             "stream", "interpret", "S",
+                                             "window"))
 def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
-                 *, tcap_col, mode, stream, interpret, S=1):
+                 *, tcap_col, mode, stream, interpret, S=1, window=False):
     """Launch the walk kernel over all tiles. Returns (out, steps).
 
     feats is CHANNEL-FIRST (Kp, n_tiles * R) — rays on the dense lane
@@ -734,7 +770,7 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
     wbuf_shape = (2, S, Kp, C4) if S > 1 else (2, Kp, C4)
     out, steps = pl.pallas_call(
         _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, mode,
-                          stream, S),
+                          stream, S, window),
         grid_spec=pl.GridSpec(
             grid=(n_groups,),
             in_specs=in_specs,
@@ -793,20 +829,25 @@ def _cols(x):
     return (x[..., 0], x[..., 1], x[..., 2])
 
 
-def _feats_from_cols(cols, kp, tcap=None):
+def _feats_from_cols(cols, kp, tcap=None, extra=()):
     """Per-ray feature columns -> CHANNEL-FIRST (kp, R).
 
-    Layout: rows [cols..., 1, tcap?, zeros...], rays on the dense lane
-    axis. The ray-major (R, kp) form would be lane-padded kp -> 128 by
-    XLA (16x memory for kp = 8; measured 13-24 ms/frame of concatenate
-    at 1080p). The root-exit cap rides the first spare (zero-weight-row)
-    feature row, saving the kernel a separate input stream; its row index
-    is ``len(cols) + 1`` (returned layout is static per n_feat).
+    Layout: rows [cols..., 1, tcap?, extra..., zeros...], rays on the
+    dense lane axis. The ray-major (R, kp) form would be lane-padded
+    kp -> 128 by XLA (16x memory for kp = 8; measured 13-24 ms/frame of
+    concatenate at 1080p). The root-exit cap rides the first spare
+    (zero-weight-row) feature row, saving the kernel a separate input
+    stream; its row index is ``len(cols) + 1`` (returned layout is
+    static per n_feat). ``extra`` rows (e.g. the per-ray tmin/tmax
+    window) follow the tcap row on further spare zero-weight rows.
     """
     R = cols[0].shape[0]
     arrs = list(cols) + [jnp.ones((R,), cols[0].dtype)]
     if tcap is not None:
         arrs.append(tcap)
+    arrs.extend(extra)
+    if len(arrs) > kp:
+        raise ValueError(f"{len(arrs)} feature rows exceed kp={kp}")
     if kp > len(arrs):
         zero = jnp.zeros((R,), cols[0].dtype)
         arrs.extend([zero] * (kp - len(arrs)))
@@ -839,6 +880,25 @@ def _scene_root(cs):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _detach_f32(tree):
+    """stop_gradient + cast floating leaves to f32: the SEARCH precision.
+
+    The kernel's double-precision story (the reference's ``Scalar``
+    float/double axis, anim.cpp:154-158): winner/occlusion SEARCH always
+    runs the f32 TPU datapath; everything a float64 caller observes —
+    (t, u, v) at the winners, shading, gradients — is recomputed in f64
+    from the original arrays. The deviation from an all-f64 traversal is
+    confined to winner tie-breaks within f32 resolution, the same class
+    (and source) of deviation as the kernel's cleared-mantissa t keys.
+    """
+    def leaf(x):
+        x = jax.lax.stop_gradient(x)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, jnp.float32)
+        return x
+    return jax.tree.map(leaf, tree)
+
+
 def _hier_setup(lo, hi, dirs_tiled, alive, origins_tiled, w):
     """Choose flat vs two-level walk and build the super-level inputs.
 
@@ -859,9 +919,18 @@ def _hier_setup(lo, hi, dirs_tiled, alive, origins_tiled, w):
     return S, hull, bbox, super_lo, super_hi, w
 
 
-def _closest_search(cs, eye, dir_cols):
-    """Detached winner search: packed slot ids + counters (no gradients)."""
-    cs, eye, dir_cols = jax.lax.stop_gradient((cs, eye, dir_cols))
+def _closest_search(cs, eye, dir_cols, tmin=None, tmax=None):
+    """Detached winner search: packed slot ids + counters (no gradients).
+
+    Always f32 (see _detach_f32) — float64 callers get f64 values from
+    the plain-JAX recompute at the winners, not from the kernel.
+    ``tmin``/``tmax`` (scalar or per-ray) restrict accepts to the
+    bvh::Ray window [tmin, tmax] (ray.hpp:9-23); tmax additionally caps
+    the walk (nothing past it needs visiting).
+    """
+    cs, eye, dir_cols, tmin, tmax = _detach_f32(
+        (cs, eye, dir_cols, tmin, tmax))
+    window = tmin is not None or tmax is not None
     R = dir_cols[0].shape[0]
     w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
     lo = cs.lo - eye
@@ -872,14 +941,30 @@ def _closest_search(cs, eye, dir_cols):
     alive = (dirs_tiled[0] * dirs_tiled[0] + dirs_tiled[1] * dirs_tiled[1]
              + dirs_tiled[2] * dirs_tiled[2]) > 0.0
     tcap = _ray_tcap(root_lo - eye, root_hi - eye, None, dp)
-    feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
+    extra = ()
+    if window:
+        tmin_a = (jnp.zeros((R,), jnp.float32) if tmin is None
+                  else jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                                        (R,)))
+        tmax_a = (jnp.full((R,), _BIG, jnp.float32) if tmax is None
+                  else jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
+                                        (R,)))
+        tmin_p = _pad_rays(tmin_a)
+        tmax_p = _pad_rays(tmax_a)
+        # Walk cap: no candidate past tmax can matter (padded
+        # conservatively like the root exit). Dead rays keep tcap -1.
+        tcap = jnp.where(tcap < 0, tcap,
+                         jnp.minimum(tcap, tmax_p * (1.0 + _ULP_PAD)))
+        extra = (tmin_p, tmax_p)
+    feats = _feats_from_cols(dp, w.shape[1], tcap=tcap, extra=extra)
     S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
         lo, hi, dirs_tiled, alive, None, w)
     keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
                                         alive=alive)
     pidx, steps = _walk_pallas(
         counts, keys, feats, w, hull=hull, bbox=bbox, tcap_col=4,
-        mode="closest", stream=_use_stream(w), interpret=_interpret(), S=S)
+        mode="closest", stream=_use_stream(w), interpret=_interpret(), S=S,
+        window=window)
     steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
                                   "mt_block_visits": steps}
@@ -945,7 +1030,8 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
 
 
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
-                              with_counts=False, payload=None):
+                              with_counts=False, payload=None,
+                              tmin=None, tmax=None):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
     ``dirs`` is (R, 3) or a 3-tuple of (R,) columns (the fast form — all
@@ -956,6 +1042,11 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     winner search; (t, u, v) come from a plain-JAX Möller-Trumbore
     recomputation at the winners, gathered from ``soup`` by original
     triangle id.
+
+    ``tmin``/``tmax`` (scalar or per-ray (R,)) restrict accepted hits to
+    the bvh::Ray window tmin <= t <= tmax (ray.hpp:9-23; default the
+    unbounded [0, +big) the reference constructs). tmax also caps the
+    walk, like the closest-hit tmax shrink (single_ray_traverser.hpp:59).
 
     ``payload`` (a sequence of P per-triangle (T,) columns, e.g. shading
     normals) rides the winner gather: returns (hit, payload_cols — a
@@ -971,7 +1062,8 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     if cs is None:
         cs = cl.build_clusters_treelet(
             jax.tree.map(jax.lax.stop_gradient, soup))
-    pidx, counts = _closest_search(cs, eye, dir_cols)
+    pidx, counts = _closest_search(cs, eye, dir_cols, tmin=tmin,
+                                   tmax=tmax)
     mask = pidx >= 0
     cols = _winner_table_cols(soup, cs, payload)
     table = jnp.stack(cols, axis=-1)
@@ -1017,13 +1109,13 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     ``with_counts=True`` additionally returns the measured traversal
     counters.
     """
-    soup, shift, o_cols, d_cols = jax.lax.stop_gradient(
+    soup, shift, o_cols, d_cols = _detach_f32(
         (soup, origin_shift, _cols(origins), _cols(dirs)))
     R = d_cols[0].shape[0]
     if clusters is None:
         cs = cl.build_clusters_treelet(soup)
     else:
-        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
+        cs = _detach_f32(clusters)
     w = _pack_weights(cl.cluster_weights_generic(cs, shift))
     lo = cs.lo - shift
     hi = cs.hi - shift
@@ -1087,13 +1179,12 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
     rays whose answer is irrelevant. Boolean, intentionally
     non-differentiable (detached visibility).
     """
-    soup, dest, p_cols = jax.lax.stop_gradient(
-        (soup, dest, _cols(points)))
+    soup, dest, p_cols = _detach_f32((soup, dest, _cols(points)))
     R = p_cols[0].shape[0]
     if clusters is None:
         cs = cl.build_clusters_treelet(soup)
     else:
-        cs = jax.tree.map(jax.lax.stop_gradient, clusters)
+        cs = _detach_f32(clusters)
     w = _pack_weights(cl.cluster_weights_common_origin(cs, dest))
     lo = cs.lo - dest
     hi = cs.hi - dest

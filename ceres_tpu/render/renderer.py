@@ -120,6 +120,8 @@ def render_wavefront_cols(
                     # build (frame loops over static geometry). Fully
                     # differentiable — the structure only drives the
                     # detached winner search.
+    spheres=None,   # optional (centers (S, 3), radii (S,)): bvh::Sphere
+                    # primitives merged into the scene by closest t
 ):
     """Column-form wavefront render -> (3-tuple of (R,) colors, stats).
 
@@ -182,6 +184,40 @@ def render_wavefront_cols(
             camera.eye[a] + t_safe * dir_cols[a]
             + SELF_INTERSECT_OFFSET * n[a] * n_inv
             for a in range(3))
+    u_eff, v_eff = hit.u, hit.v
+    corner_cols = pay[3:12] if config.mode == "smooth" else None
+    sph_win = None
+    if spheres is not None:
+        # bvh::Sphere primitives (sphere.hpp:13-61) merged by closest t.
+        # The sphere count of any plausible scene is tiny next to
+        # triangles, so spheres run the dense column pair test; the
+        # winner overrides point/normal columns, and smooth shading sees
+        # the exact sphere normal on all three "corners" (Gouraud
+        # degenerates to per-pixel normal shading).
+        from ceres_tpu.ops import sphere as sphere_ops
+
+        centers, radii = spheres
+        s_t, s_mask, _, s_nrm = sphere_ops.closest_hit_common_origin_cols(
+            camera.eye, dir_cols, centers, radii)
+        t_tri = jnp.where(mask, hit.t, jnp.inf)
+        sph_win = s_mask & (s_t < t_tri)
+        mask = mask | s_mask
+        st_safe = jnp.where(sph_win, s_t, 0.0)
+        # Offset along the OUTWARD normal (toward the viewer for front
+        # hits) — the sign mirrors the triangles' -1e-5 * n, whose
+        # left-handed n points into the surface for CCW meshes.
+        point = tuple(
+            jnp.where(sph_win,
+                      camera.eye[a] + st_safe * dir_cols[a]
+                      - SELF_INTERSECT_OFFSET * s_nrm[a],
+                      point[a])
+            for a in range(3))
+        n = tuple(jnp.where(sph_win, s_nrm[a], n[a]) for a in range(3))
+        u_eff = jnp.where(sph_win, 0.0, u_eff)
+        v_eff = jnp.where(sph_win, 0.0, v_eff)
+        if corner_cols is not None:
+            corner_cols = [jnp.where(sph_win, s_nrm[j % 3], corner_cols[j])
+                           for j in range(9)]
     sl = tuple(sun_position[a] - point[a] for a in range(3))
     sl_inv = jax.lax.rsqrt(sl[0] * sl[0] + sl[1] * sl[1] + sl[2] * sl[2])
     sun_line = tuple(c * sl_inv for c in sl)
@@ -212,12 +248,24 @@ def render_wavefront_cols(
                 soup, sun_position, point, skip=~mask,
                 clusters=clusters, with_counts=want_counts)
         occluded, counts2 = res2 if want_counts else (res2, None)
+        if spheres is not None:
+            # Spheres occlude too (both triangle- and sphere-hit points).
+            from ceres_tpu.ops import sphere as sphere_ops
+
+            if config.reference_compat:
+                tmax_s = jnp.inf
+            else:
+                # Segment test: nothing beyond the sun can shadow.
+                tmax_s = (1.0 / sl_inv) * (1.0 - 1e-4)
+            occ_s = sphere_ops.any_hit_cols(point, sun_line, spheres[0],
+                                            spheres[1], tmax=tmax_s)
+            occluded = occluded | (occ_s & mask)
     else:
         occluded = jnp.zeros_like(mask)
 
     if config.mode == "smooth":
         shade = shading_mod.smooth_shading_cols(
-            sun_line, pay[3:12], dir_cols, hit.u, hit.v,
+            sun_line, corner_cols, dir_cols, u_eff, v_eff,
             reference_compat=config.reference_compat)
     elif config.mode == "flat":
         shade = shading_mod.flat_shading_cols(n, guard=mask)
@@ -230,15 +278,15 @@ def render_wavefront_cols(
 
     lit = mask & ~occluded
     color = tuple(jnp.where(lit, s, 0.0) for s in shade)
-    stats = _wavefront_stats(hit, occluded, dir_cols[0].shape[0],
+    stats = _wavefront_stats(mask, occluded, dir_cols[0].shape[0],
                              soup, config, counts1, counts2)
     return color, stats
 
 
-def _wavefront_stats(hit, occluded, R, soup, config, counts1, counts2):
+def _wavefront_stats(mask, occluded, R, soup, config, counts1, counts2):
     """rays/hits counting parity (render.hpp:102,115,119,138,148)."""
-    primary_hits = jnp.sum(hit.mask)
-    shadow_hits = jnp.sum(hit.mask & occluded)
+    primary_hits = jnp.sum(mask)
+    shadow_hits = jnp.sum(mask & occluded)
     stats = {
         "rays": R + primary_hits,
         "hits": primary_hits + shadow_hits,
@@ -275,6 +323,7 @@ def render_wavefront(
     dirs: jax.Array,  # (R, 3) normalized primary directions from camera.eye
     config: RenderConfig,
     clusters=None,
+    spheres=None,
 ):
     """Render a flat wavefront of primary rays -> ((R, 3) colors, stats).
 
@@ -285,11 +334,13 @@ def render_wavefront(
     if config.backend == "megakernel":
         cols, stats = render_wavefront_cols(
             soup, camera, sun_position,
-            (dirs[:, 0], dirs[:, 1], dirs[:, 2]), config, clusters=clusters)
+            (dirs[:, 0], dirs[:, 1], dirs[:, 2]), config, clusters=clusters,
+            spheres=spheres)
         return jnp.stack(cols, axis=-1), stats
 
     hit = _closest_primary(soup, camera, dirs, config.backend,
                            clusters=clusters)
+    mask = hit.mask
     prim = jax.lax.stop_gradient(jnp.where(hit.mask, hit.prim_id, 0))
     u, v = hit.u, hit.v
     if config.mode == "smooth":
@@ -314,11 +365,48 @@ def render_wavefront(
         t_safe = jnp.where(hit.mask, hit.t, 0.0)
         point = camera.eye + t_safe[:, None] * dirs
     point = point + SELF_INTERSECT_OFFSET * _normalize(n)
+
+    if spheres is not None:
+        # bvh::Sphere merge (see render_wavefront_cols): the oracle-path
+        # dense (R, 3) form of the same closest-t override.
+        from ceres_tpu.ops import sphere as sphere_ops
+
+        centers, radii = spheres
+        origins = jnp.broadcast_to(camera.eye, dirs.shape)
+        sph = sphere_ops.closest_hit(origins, dirs, centers, radii)
+        t_tri = jnp.where(mask, hit.t, jnp.inf)
+        sph_win = sph.mask & (sph.t < t_tri)
+        mask = mask | sph.mask
+        st_safe = jnp.where(sph_win, sph.t, 0.0)
+        s_point = camera.eye + st_safe[:, None] * dirs
+        s_nrm = sphere_ops.normal_at(s_point, centers, sph.sphere_id)
+        point = jnp.where(sph_win[:, None],
+                          s_point - SELF_INTERSECT_OFFSET * s_nrm, point)
+        n = jnp.where(sph_win[:, None], s_nrm, n)
+        u = jnp.where(sph_win, 0.0, u)
+        v = jnp.where(sph_win, 0.0, v)
+        if corners is not None:
+            corners = jnp.where(sph_win[:, None, None],
+                                s_nrm[:, None, :], corners)
     sun_line = _normalize(sun_position[None, :] - point)
 
     if config.shadows:
         occluded = _any_shadow(soup, point, sun_line, config.backend,
-                               skip=~hit.mask, clusters=clusters)
+                               skip=~mask, clusters=clusters)
+        if spheres is not None:
+            from ceres_tpu.ops import sphere as sphere_ops
+
+            if config.reference_compat:
+                tmax_s = jnp.inf
+            else:
+                dist = jnp.linalg.norm(sun_position[None, :] - point,
+                                       axis=-1)
+                tmax_s = dist * (1.0 - 1e-4)
+            occ_s = sphere_ops.any_hit(point, sun_line, spheres[0],
+                                       spheres[1],
+                                       tmax=tmax_s if jnp.ndim(tmax_s) == 0
+                                       else tmax_s[:, None])
+            occluded = occluded | (occ_s & mask)
     else:
         occluded = jnp.zeros(dirs.shape[0], dtype=bool)
 
@@ -334,9 +422,9 @@ def render_wavefront(
     else:
         raise ValueError(f"unknown shading mode: {config.mode}")
 
-    lit = hit.mask & ~occluded
+    lit = mask & ~occluded
     color = jnp.where(lit[:, None], shade, 0.0)
-    stats = _wavefront_stats(hit, occluded, dirs.shape[0], soup, config,
+    stats = _wavefront_stats(mask, occluded, dirs.shape[0], soup, config,
                              None, None)
     return color, stats
 
@@ -350,6 +438,8 @@ def render_pipeline(
     clusters=None,  # prebuilt ClusterSet for this mesh: skips the per-call
                     # structure build (the reference builds its BVH once
                     # before the frame loop, anim.cpp:62-66)
+    spheres=None,   # optional (centers (S, 3), radii (S,)) bvh::Sphere
+                    # primitives merged into the scene by closest t
 ):
     """Full pipeline from an indexed mesh -> ((H, W, 3) image, stats)."""
     if faces.shape[0] == 0:
@@ -366,7 +456,8 @@ def render_pipeline(
         planes = camera_ray_columns(camera, config.width, config.height)
         dir_cols = tuple(tiling.swizzle_plane(p) for p in planes)
         color, stats = render_wavefront_cols(
-            soup, camera, sun_position, dir_cols, config, clusters=clusters)
+            soup, camera, sun_position, dir_cols, config, clusters=clusters,
+            spheres=spheres)
         image = jnp.stack(
             [tiling.unswizzle_plane(c, config.height, config.width)
              for c in color], axis=-1)
@@ -378,13 +469,14 @@ def render_pipeline(
     dirs_hw = camera_rays(camera, config.width, config.height)
     dirs = dirs_hw.reshape(-1, 3)
     color, stats = render_wavefront(soup, camera, sun_position, dirs, config,
-                                    clusters=clusters)
+                                    clusters=clusters, spheres=spheres)
     return color.reshape(config.height, config.width, 3), stats
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _render_jit(vertices, faces, camera, sun_position, config):
-    return render_pipeline(vertices, faces, camera, sun_position, config)
+def _render_jit(vertices, faces, camera, sun_position, config, spheres=None):
+    return render_pipeline(vertices, faces, camera, sun_position, config,
+                           spheres=spheres)
 
 
 def render(
@@ -393,24 +485,30 @@ def render(
     camera: Camera,
     sun_position,
     config: Optional[RenderConfig] = None,
+    spheres=None,
     **kwargs,
 ):
     """User-facing render call. kwargs override RenderConfig fields.
 
     Precision follows the input dtype — the reference's one real config
     axis (``Scalar`` float/double, anim.cpp:154-158): pass float64
-    vertices (with jax x64 enabled) for a double-precision render. The
-    Pallas megakernel is float32 TPU hardware; float64 runs on the
-    bruteforce backend.
+    vertices (with jax x64 enabled) for a double-precision render. On
+    the megakernel backend, float64 runs the ACCELERATED path: winner /
+    occlusion search on the f32 kernel datapath, with every observable
+    value — hit (t, u, v), shading, gradients — recomputed in float64
+    at the winners (megakernel._detach_f32). Deviations from an all-f64
+    traversal are confined to winner tie-breaks within f32 resolution.
+    The bruteforce backend remains the all-f64 oracle (O(R x T)).
     """
     config = dataclasses.replace(config or RenderConfig(), **kwargs)
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces)
-    if vertices.dtype == jnp.float64 and config.backend == "megakernel":
-        raise ValueError(
-            "float64 rendering requires backend='bruteforce': the Pallas "
-            "megakernel targets the f32 TPU datapath")
     sun_position = jnp.asarray(sun_position, vertices.dtype)
     camera = Camera.make(camera.eye, camera.dir, camera.up, camera.fov,
                          dtype=vertices.dtype)
-    return _render_jit(vertices, faces, camera, sun_position, config)
+    if spheres is not None:
+        centers, radii = spheres
+        spheres = (jnp.asarray(centers, vertices.dtype).reshape(-1, 3),
+                   jnp.asarray(radii, vertices.dtype).reshape(-1))
+    return _render_jit(vertices, faces, camera, sun_position, config,
+                       spheres)

@@ -61,14 +61,63 @@ def test_double_tighter_than_float(bunny):
     assert err64 < 1e-9
 
 
-def test_megakernel_rejects_float64(bunny):
+def test_megakernel_float64_matches_oracle(bunny):
+    """The ACCELERATED f64 path: megakernel winner search in f32, every
+    value recomputed in f64 (megakernel._detach_f32). Must agree with the
+    all-f64 oracle except at winner tie-breaks within f32 resolution —
+    i.e. a small silhouette budget, with f64-tight interiors."""
     scene = scenes.bunny_scene()
+    W = H = 48
     with jax.enable_x64():
-        with pytest.raises(ValueError, match="float64"):
-            render(np.asarray(scene.vertices, np.float64), scene.faces,
-                   scene.camera, scene.sun,
-                   config=RenderConfig(width=16, height=16,
-                                       backend="megakernel"))
+        img, stats = render(
+            np.asarray(scene.vertices, np.float64), np.asarray(scene.faces),
+            scene.camera, np.asarray(scene.sun, np.float64),
+            config=RenderConfig(width=W, height=H, mode="smooth",
+                                backend="megakernel"))
+        img = np.asarray(img)
+    assert img.dtype == np.float64
+    gold, _ = golden.render_golden(
+        scene.vertices, scene.faces,
+        np.asarray(scene.camera.eye, np.float64),
+        np.asarray(scene.camera.dir, np.float64),
+        np.asarray(scene.camera.up, np.float64),
+        float(scene.camera.fov), np.asarray(scene.sun, np.float64),
+        W, H, mode="smooth")
+    d = np.abs(img - gold).max(axis=-1)
+    # f32-resolution winner flips only: a vanishing set of edge pixels...
+    assert (d > 1e-9).mean() < 0.01, f"{(d > 1e-9).mean():.3%} pixels off"
+    # ...and exact-winner pixels agree at f64 tightness.
+    assert np.median(d) < 1e-12
+
+
+def test_megakernel_float64_values_beat_f32(bunny):
+    """At matching winners, the f64 megakernel values must be strictly
+    tighter to the f64 oracle than the f32 megakernel's."""
+    scene = scenes.bunny_scene()
+    W = H = 48
+    cfg = RenderConfig(width=W, height=H, mode="smooth",
+                       backend="megakernel")
+    with jax.enable_x64():
+        img64, _ = render(
+            np.asarray(scene.vertices, np.float64), np.asarray(scene.faces),
+            scene.camera, np.asarray(scene.sun, np.float64), config=cfg)
+        img64 = np.asarray(img64)
+    img32 = np.asarray(render(scene.vertices, scene.faces, scene.camera,
+                              scene.sun, config=cfg)[0])
+    gold, _ = golden.render_golden(
+        scene.vertices, scene.faces,
+        np.asarray(scene.camera.eye, np.float64),
+        np.asarray(scene.camera.dir, np.float64),
+        np.asarray(scene.camera.up, np.float64),
+        float(scene.camera.fov), np.asarray(scene.sun, np.float64),
+        W, H, mode="smooth")
+    d64 = np.abs(img64 - gold).max(axis=-1)
+    d32 = np.abs(img32.astype(np.float64) - gold).max(axis=-1)
+    # Compare on LIT pixels where both picked the oracle winner (misses
+    # are exactly black in every backend and would wash out the medians).
+    both = (gold.max(axis=-1) > 0.01) & (d64 < 1e-6) & (d32 < 1e-3)
+    assert both.mean() > 0.05    # lit, winner-agreeing bunny pixels
+    assert np.median(d64[both]) < np.median(d32[both]) * 1e-3
 
 
 def test_cli_double_flag(tmp_path):

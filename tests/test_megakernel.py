@@ -210,6 +210,72 @@ class TestAnyHitToPoint:
         assert bool(occ_blocked[0])      # the between triangle shadows
 
 
+class TestTWindow:
+    """Per-ray [tmin, tmax] on the megakernel closest hit — the bvh::Ray
+    window (ray.hpp:9-23), exercised against the bruteforce oracle's
+    native tmin/tmax support."""
+
+    def _scene_two_planes(self):
+        tri = np.asarray([[-2, -2, 0], [2, -2, 0], [0, 2, 0]], np.float32)
+        verts = np.concatenate([tri + np.asarray([0, 0, 2], np.float32),
+                                tri + np.asarray([0, 0, 5], np.float32)])
+        faces = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+        return triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                             with_normals=False)
+
+    def test_window_selects_far_triangle(self):
+        soup = self._scene_two_planes()
+        eye = jnp.zeros(3, jnp.float32)
+        dirs = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        h0 = mk.closest_hit_common_origin(soup, eye, dirs)
+        assert bool(h0.mask[0]) and int(h0.prim_id[0]) == 0
+        h1 = mk.closest_hit_common_origin(soup, eye, dirs, tmin=3.0)
+        assert bool(h1.mask[0]) and int(h1.prim_id[0]) == 1
+        np.testing.assert_allclose(float(h1.t[0]), 5.0, rtol=1e-5)
+        h2 = mk.closest_hit_common_origin(soup, eye, dirs, tmax=1.0)
+        assert not bool(h2.mask[0])
+        h3 = mk.closest_hit_common_origin(soup, eye, dirs, tmin=3.0,
+                                          tmax=4.0)
+        assert not bool(h3.mask[0])
+
+    def test_per_ray_window_matches_bruteforce(self, rng):
+        soup = _random_scene(rng, V=200, F=400)
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        R = 512
+        dirs = _random_dirs(rng, R)
+        tmin = jnp.asarray(rng.uniform(0.0, 3.0, R).astype(np.float32))
+        tmax = tmin + jnp.asarray(
+            rng.uniform(0.5, 4.0, R).astype(np.float32))
+        bf = mt.closest_hit_bruteforce(
+            mt.ray_features_common_origin(dirs),
+            mt.triangle_weights_common_origin(soup, eye),
+            tmin=tmin[:, None], tmax=tmax[:, None])
+        hit = mk.closest_hit_common_origin(soup, eye, dirs, tmin=tmin,
+                                           tmax=tmax)
+        agree = np.asarray(bf.mask) == np.asarray(hit.mask)
+        assert agree.mean() > 0.995   # window-edge rounding only
+        m = np.asarray(bf.mask) & np.asarray(hit.mask)
+        np.testing.assert_allclose(np.asarray(bf.t)[m],
+                                   np.asarray(hit.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_window_hier_matches_flat(self, rng, monkeypatch):
+        soup = _random_scene(rng, V=200, F=400)
+        eye = jnp.asarray([0.0, 0.0, -4.0], jnp.float32)
+        dirs = _random_dirs(rng, 400)
+        flat = mk.closest_hit_common_origin(soup, eye, dirs, tmin=0.5,
+                                            tmax=6.0)
+        monkeypatch.setattr(mk, "_HIER_MIN_CLUSTERS", 1)
+        hier = mk.closest_hit_common_origin(soup, eye, dirs, tmin=0.5,
+                                            tmax=6.0)
+        np.testing.assert_array_equal(np.asarray(flat.mask),
+                                      np.asarray(hier.mask))
+        m = np.asarray(flat.mask)
+        np.testing.assert_allclose(np.asarray(flat.t)[m],
+                                   np.asarray(hier.t)[m],
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestHierarchicalWalk:
     """The two-level walk (super candidates + in-kernel block gating)
     must match the flat walk exactly on every mode. Forced on tiny

@@ -76,6 +76,39 @@ def test_frames_sharded_turntable(quad_scene):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_megakernel_matches_single(quad_scene):
+    """Megakernel x shard_map equivalence (rays axis): the Pallas walk
+    (interpret mode on CPU) inside a sharded shard, against the
+    single-device megakernel render."""
+    verts, faces, camera, sun = quad_scene
+    kw = dict(width=64, height=48, mode="smooth", backend="megakernel")
+    img1, stats1 = render(verts, faces, camera, sun, **kw)
+    mesh = device_mesh()
+    img8, stats8 = render_sharded(verts, faces, camera, sun, mesh=mesh, **kw)
+    d = np.abs(np.asarray(img8) - np.asarray(img1)).max(axis=-1)
+    # Row-sharded tiling regroups rays into different 512-ray tiles, so
+    # winner tie-breaks at silhouette pixels may flip; interiors match.
+    assert (d > 1e-3).mean() < 1e-2
+    assert int(stats8["rays"]) == int(stats1["rays"])
+
+
+def test_frames_sharded_megakernel_turntable(quad_scene):
+    """Megakernel backend through render_frames_sharded on the
+    (frames=2, rays=4) mesh — the full animation fast path (prebuilt
+    clusters reused across the frame loop) with the Pallas walk."""
+    verts, faces, camera, sun = quad_scene
+    mesh = device_mesh(num_frames_axis=2)
+    tracks = turntable_transforms(4)
+    frames, stats = render_frames_sharded(
+        verts, faces, camera, sun, tracks, mesh=mesh,
+        width=32, height=24, mode="smooth", backend="megakernel")
+    assert frames.shape == (4, 24, 32, 3)
+    img0, _ = render(verts, faces, camera, sun, width=32, height=24,
+                     mode="smooth", backend="megakernel")
+    d = np.abs(np.asarray(frames[0]) - np.asarray(img0)).max(axis=-1)
+    assert (d > 1e-3).mean() < 1e-2
+
+
 def test_frames_match_serial_rotation(quad_scene):
     """Frame k of the batched turntable == serially transformed render
     (the anim.cpp:82-125 loop done one frame at a time)."""

@@ -1,0 +1,107 @@
+"""Sphere primitives in the RENDER pipeline (bvh::Sphere wired in).
+
+The reference ships bvh::Sphere in its library surface
+(lib/bvh/sphere.hpp:13-61) but its apps never draw one; here spheres are
+first-class scene members: merged with triangles by closest t, shaded
+from the exact outward normal, casting and receiving shadows, on both
+backends and through the CLI.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ceres_tpu.render.renderer import RenderConfig, render
+from ceres_tpu.models.camera import Camera
+
+
+def _floor_scene():
+    """A big floor quad at y = 0 looked at from above.
+
+    Winding chosen so the left-handed face normal n = cross(p0-p1, p2-p0)
+    points DOWN (-y): the render pipeline's reference-exact offset is
+    -1e-5 * n (render.hpp:131-133), which then lifts shadow origins OFF
+    the floor toward the sun.
+    """
+    verts = np.asarray([[-10, 0, -10], [10, 0, -10], [10, 0, 10],
+                        [-10, 0, 10]], np.float32)
+    faces = np.asarray([[0, 2, 1], [0, 3, 2]], np.int32)
+    cam = Camera.make(eye=(0.0, 5.0, -6.0), dir=(0.0, -0.6, 1.0),
+                      up=(0, 1, 0), fov=60.0)
+    sun = np.asarray([0.0, 50.0, 0.0], np.float32)
+    return verts, faces, cam, sun
+
+
+@pytest.mark.parametrize("backend", ["bruteforce", "megakernel"])
+def test_sphere_visible_and_in_front(backend):
+    verts, faces, cam, sun = _floor_scene()
+    sph = (np.asarray([[0.0, 1.5, 0.0]], np.float32),
+           np.asarray([1.0], np.float32))
+    base, bstats = render(verts, faces, cam, sun, width=64, height=64,
+                          mode="flat", backend=backend, shadows=False)
+    img, stats = render(verts, faces, cam, sun, width=64, height=64,
+                        mode="flat", backend=backend, shadows=False,
+                        spheres=sph)
+    # The sphere occupies pixels the floor also covers: the image changes
+    # and primary hits can only grow (sphere may cover sky pixels too).
+    assert (np.abs(np.asarray(img) - np.asarray(base)) > 1e-3).any()
+    assert int(stats["primary_hits"]) >= int(bstats["primary_hits"])
+
+
+@pytest.mark.parametrize("backend", ["bruteforce", "megakernel"])
+def test_sphere_casts_shadow_on_triangles(backend):
+    verts, faces, cam, sun = _floor_scene()
+    # Sphere between the sun (straight up) and the floor: a shadow disk
+    # must appear on the floor around the sub-sphere point.
+    sph = (np.asarray([[0.0, 3.0, 0.0]], np.float32),
+           np.asarray([1.0], np.float32))
+    lit, _ = render(verts, faces, cam, sun, width=64, height=64,
+                    mode="flat", backend=backend)
+    img, stats = render(verts, faces, cam, sun, width=64, height=64,
+                        mode="flat", backend=backend, spheres=sph)
+    lit = np.asarray(lit)
+    img = np.asarray(img)
+    darkened = (lit.max(axis=-1) > 0.01) & (img.max(axis=-1) < 0.01)
+    assert darkened.sum() > 10          # the shadow disk exists
+    assert int(stats["shadow_hits"]) > 0
+
+
+def test_sphere_smooth_shading_backends_agree():
+    verts, faces, cam, sun = _floor_scene()
+    # Mesh normals for smooth mode + a sphere overlapping the view.
+    sph = (np.asarray([[0.0, 1.5, 0.0], [2.5, 1.0, 1.0]], np.float32),
+           np.asarray([1.0, 0.75], np.float32))
+    img_b, sb = render(verts, faces, cam, sun, width=64, height=64,
+                       mode="smooth", backend="bruteforce", spheres=sph)
+    img_m, sm = render(verts, faces, cam, sun, width=64, height=64,
+                       mode="smooth", backend="megakernel", spheres=sph)
+    d = np.abs(np.asarray(img_b) - np.asarray(img_m)).max(axis=-1)
+    assert (d > 1e-3).mean() < 2e-3     # silhouette ties only
+    assert int(sb["primary_hits"]) == int(sm["primary_hits"])
+
+
+def test_sphere_beyond_sun_does_not_shadow():
+    verts, faces, cam, sun = _floor_scene()   # sun at y = 50
+    sph = (np.asarray([[0.0, 80.0, 0.0]], np.float32),
+           np.asarray([5.0], np.float32))
+    lit, _ = render(verts, faces, cam, sun, width=48, height=48,
+                    mode="flat", backend="megakernel")
+    img, _ = render(verts, faces, cam, sun, width=48, height=48,
+                    mode="flat", backend="megakernel", spheres=sph)
+    # Physically-correct default: geometry beyond the light cannot darken.
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(lit))
+
+
+def test_cli_sphere_flag(tmp_path):
+    import os
+
+    from ceres_tpu.cli import render as cli
+    from ceres_tpu.render.scenes import data_dir
+
+    out = tmp_path / "sph.png"
+    rc = cli.main([os.path.join(data_dir(), "bunny.obj"), "-o", str(out),
+                   "--width", "48", "--height", "32", "--mode", "flat",
+                   "--sphere", "0", "0.1", "0.05", "0.04",
+                   "--sphere", "0.1", "0.05", "0.0", "0.02"])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0

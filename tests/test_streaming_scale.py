@@ -31,6 +31,36 @@ def test_subdivide_watertight(bunny):
     assert v2.shape[0] == scene.vertices.shape[0] + n_edges
 
 
+def test_hierarchical_large_scene_renders_like_base(bunny):
+    """The TWO-LEVEL walk end to end through render(): a 3x-subdivided
+    bunny (318k triangles -> ~5k blocks) crosses _HIER_MIN_CLUSTERS, so
+    the super-candidate prepass + in-kernel block gating AND the
+    super-granular weight streaming both engage naturally. The flat walk
+    is architecturally capped well below this scale on real hardware
+    (its per-tile key window exceeds SMEM at ~16k blocks — measured on a
+    1.27M-triangle scene, which only the two-level walk can compile);
+    the image must still match the base-mesh render.
+    """
+    from ceres_tpu.accel import clusters as cl
+    from ceres_tpu.ops import megakernel as mk
+
+    scene = scenes.bunny_scene()
+    v3, f3 = subdivide(scene.vertices, scene.faces, 3)   # ~318k tris
+    cfg = RenderConfig(width=32, height=32, mode="flat",
+                       backend="megakernel")
+    base, bstats = render(scene.vertices, scene.faces, scene.camera,
+                          scene.sun, config=cfg)
+    n_blocks = 2 * (-(-f3.shape[0] // cl.CLUSTER_SIZE))
+    assert mk._super_factor(n_blocks) > 1      # the two-level walk engages
+    img, stats = render(v3, f3, scene.camera, scene.sun, config=cfg)
+    base = np.asarray(base)
+    img = np.asarray(img)
+    diff = np.abs(img - base).max(axis=-1)
+    assert (diff < 2e-2).mean() > 0.97, f"{(diff >= 2e-2).mean():.3%} off"
+    assert abs(int(stats["primary_hits"]) - int(bstats["primary_hits"])) \
+        <= 0.02 * 32 * 32
+
+
 def test_streamed_large_scene_renders_like_base(bunny, monkeypatch):
     from ceres_tpu.ops import megakernel as mk
 

@@ -38,6 +38,13 @@ int main(int argc, char** argv) {
 
     const std::string input = argc > 1 ? argv[1] : "/root/reference/data/bunny.obj";
     const std::string output = argc > 2 ? argv[2] : "bunny_64_smooth_ref.ppm";
+    // "bunny" (BASELINE config 1) or "dragon_static" (the static.cpp
+    // scene preset, static.cpp:38-47: dragon, eye (0,-15,2), dir (0,1,0),
+    // up (0,0,1), fov 60, sun (-50,-20,0), mesh rotated +90 deg about x).
+    // The checked-in static app would crash (null tri_norms into
+    // smooth_shading, SURVEY.md 3.2); the fixture renders the preset
+    // through the WORKING reference path (normals loaded via obj_norms).
+    const std::string preset = argc > 3 ? argv[3] : "bunny";
     const size_t width = 64, height = 64;
 
     Camera<Scalar> camera = {
@@ -49,6 +56,15 @@ int main(int argc, char** argv) {
         60,
     };
     Vector3 sun_position(-50.0f, 100.0f, 0.0f);
+    size_t rot_axis = 1;
+    Scalar deg = -145.0f;
+    if (preset == "dragon_static") {
+        camera = {Vector3(0.0f, -15.0f, 2.0f), Vector3(0.0f, 1.0f, 0.0f),
+                  Vector3(0.0f, 0.0f, 1.0f), 60};
+        sun_position = Vector3(-50.0f, -20.0f, 0.0f);
+        rot_axis = 0;
+        deg = 90.0f;
+    }
 
     auto [triangles, tri_norms] = obj::load_from_file<Scalar>(input);
     if (triangles.empty()) {
@@ -56,19 +72,25 @@ int main(int argc, char** argv) {
         return 1;
     }
 
-    // BASELINE config 1: mesh rotated -145 degrees about y. The
-    // reference's rotate_triangles (render.hpp:24-44) rebuilds the
+    // The reference's rotate_triangles (render.hpp:24-44) rebuilds the
     // triangles; the accumulated vertex normals rotate with the same
-    // matrix (pure rotation).
-    const Scalar deg = -145.0f;
-    rotate_triangles<1, Scalar>(deg, triangles.data(), triangles.size());
+    // matrix (pure rotation commutes with the normal accumulation).
+    if (rot_axis == 1)
+        rotate_triangles<1, Scalar>(deg, triangles.data(), triangles.size());
+    else
+        rotate_triangles<0, Scalar>(deg, triangles.data(), triangles.size());
     {
         const Scalar pi = Scalar(3.14159265359);
         const Scalar c = std::cos(deg * pi / 180), s = std::sin(deg * pi / 180);
         for (auto& corners : tri_norms)
-            for (auto& nrm : corners)
-                nrm = Vector3(nrm[0] * c + nrm[2] * s, nrm[1],
-                              -nrm[0] * s + nrm[2] * c);
+            for (auto& nrm : corners) {
+                if (rot_axis == 1)
+                    nrm = Vector3(nrm[0] * c + nrm[2] * s, nrm[1],
+                                  -nrm[0] * s + nrm[2] * c);
+                else
+                    nrm = Vector3(nrm[0], nrm[1] * c - nrm[2] * s,
+                                  nrm[1] * s + nrm[2] * c);
+            }
     }
 
     Bvh bvh;
