@@ -129,7 +129,14 @@ def main() -> int:
     ap.add_argument("--skip-tpu", action="store_true")
     args = ap.parse_args()
 
+    out_path = os.path.join(ROOT, f"SCALING_r{args.round:02d}.json")
     result = {"host_cores": os.cpu_count()}
+    if os.path.exists(out_path):
+        # Merge over a previous partial run (e.g. keep the TPU section
+        # when re-measuring the CPU mesh with --skip-tpu).
+        with open(out_path) as fh:
+            result = json.load(fh)
+        result["host_cores"] = os.cpu_count()
 
     rates, rc = _run_cpu_mesh()
     base = rates.get(1)
@@ -156,7 +163,6 @@ def main() -> int:
         "efficiency is bounded below by the overheads recorded here, "
         "all of which must stay >= 0.85 for the >= 85% target.")
 
-    out_path = os.path.join(ROOT, f"SCALING_r{args.round:02d}.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))

@@ -230,6 +230,83 @@ def refit_clusters(clusters: ClusterSet, soup: TriangleSoup) -> ClusterSet:
                       perm=perm)
 
 
+def _stack_packed_rows(rows, n_c, kp):
+    """rows: list of K lists of 4 (N_c, C) channel planes -> (N_c, Kp, 4C).
+
+    Every arithmetic input is an (N_c, C) plane (triangles on lanes — the
+    dense layout), so building the packed weight tensor never touches an
+    (N_c, C, 3) array whose 3-vector would be lane-padded 42x. The only
+    relayout is the final stack into the kernel's (N_c, Kp, 4C) slab
+    layout (channel slabs side by side on lanes, K on sublanes,
+    zero-padded to Kp) — the same bytes _pack_weights used to emit via a
+    transpose of the vector-shaped build (measured ~4 ms/frame of
+    lane-padded cross products at 1080p).
+    """
+    packed = [jnp.concatenate(r, axis=-1) for r in rows]       # (N_c, 4C)
+    w = jnp.stack(packed, axis=1)                              # (N_c, K, 4C)
+    pad = kp - w.shape[1]
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+    return w
+
+
+def cluster_weights_common_origin_packed(clusters: ClusterSet,
+                                         origin: jax.Array) -> jax.Array:
+    """Packed-layout MT weights for common-origin rays: (N_c, 8, 4C).
+
+    Same numbers as _pack_weights(cluster_weights_common_origin(...)),
+    built entirely from (N_c, C) planes (see _stack_packed_rows).
+    Feature rows: [d.x, d.y, d.z, 1]; channel slabs [u | v | det | t].
+    """
+    n_c, C = clusters.num_clusters, clusters.cluster_size
+    p0 = [clusters.p0[:, :, a] - origin[a] for a in range(3)]
+    e1 = [clusters.e1[:, :, a] for a in range(3)]
+    e2 = [clusters.e2[:, :, a] for a in range(3)]
+    n = [clusters.n[:, :, a] for a in range(3)]
+
+    def cross(u, v):
+        return [u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0]]
+
+    cu = cross(p0, e2)
+    cv = cross(p0, e1)
+    tn = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
+    z = jnp.zeros((n_c, C), clusters.p0.dtype)
+    rows = [[cu[a], cv[a], n[a], z] for a in range(3)]
+    rows.append([z, z, z, tn])
+    return _stack_packed_rows(rows, n_c, 8)
+
+
+def cluster_weights_generic_packed(clusters: ClusterSet,
+                                   origin_shift: jax.Array) -> jax.Array:
+    """Packed-layout MT weights for generic rays: (N_c, 16, 4C).
+
+    Feature rows: [d, d x o, o, 1] (see cluster_weights_generic); built
+    from (N_c, C) planes like the common-origin form.
+    """
+    n_c, C = clusters.num_clusters, clusters.cluster_size
+    p0 = [clusters.p0[:, :, a] - origin_shift[a] for a in range(3)]
+    e1 = [clusters.e1[:, :, a] for a in range(3)]
+    e2 = [clusters.e2[:, :, a] for a in range(3)]
+    n = [clusters.n[:, :, a] for a in range(3)]
+
+    def cross(u, v):
+        return [u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0]]
+
+    cu = cross(p0, e2)
+    cv = cross(p0, e1)
+    tn = n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]
+    z = jnp.zeros((n_c, C), clusters.p0.dtype)
+    rows = [[cu[a], cv[a], n[a], z] for a in range(3)]          # d rows
+    rows += [[-e2[a], -e1[a], z, z] for a in range(3)]          # d x o rows
+    rows += [[z, z, z, -n[a]] for a in range(3)]                # o rows
+    rows.append([z, z, z, tn])                                  # 1 row
+    return _stack_packed_rows(rows, n_c, 16)
+
+
 def cluster_weights_common_origin(clusters: ClusterSet, origin: jax.Array) -> jax.Array:
     """MT weight tensor for common-origin rays: (N_c, 4, C, 4) = (ch, tri, K).
 

@@ -34,7 +34,8 @@ for a lockstep vector machine and split into two phases:
      few (R, 1) column ops — no sublane<->lane relayouts, which cost 3x
      the whole MT math in the naive two-reduction form. All comparisons
      (t, tcap, entry, prune) stay in int-key space; the prune is padded
-     +256 bits (~ *(1+3e-5)) so the cleared-mantissa t never causes a
+     +_PRUNE_PAD bits (~ *(1+5e-4): mantissa clearing + approx-reciprocal
+     slack) so the understated t keys never cause a
      non-conservative early exit. Weight slabs are VMEM-resident for
      small scenes and double-buffered HBM->VMEM DMA (driven by the
      candidate list, prefetching visit k+1 during visit k) beyond
@@ -113,6 +114,18 @@ def _super_factor(n_c: int) -> int:
     while -(-n_c // s) > _SUPER_TARGET and s < _SUPER_MAX:
         s *= 2
     return s
+
+# Prune-key slack, in int32 ulps of the f32 bit pattern (~5e-4 relative
+# near a binade top). The walk's early exit is only conservative if the
+# padded prune covers every way the carried t keys UNDERSTATE the true
+# hit distances: the cleared low mantissa bits (127 ulp) PLUS the
+# hardware approximate reciprocal in the winner t (measured 1.6e-5
+# relative in interpret emulation; budgeted at 2^-12 for the TPU
+# hardware op). 256 ulp was enough for clearing alone; with the approx
+# reciprocal it was measurably non-conservative (winner misses ~1e-3 on
+# adversarial near-tie soups). The cost of the wider pad is a handful of
+# extra scheduled visits at exit boundaries — noise.
+_PRUNE_PAD = 4096
 
 # "No hit" sentinel whose low mantissa bits are zero (survives the winner
 # key's idx-bit clearing), and its int32 bit pattern.
@@ -496,7 +509,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
             def cond(state):
                 k, prune_i = state[0], state[1]
                 # The key's low cid bits only raise it past the pure entry
-                # bound; the +256 prune pad dominates them.
+                # bound; the _PRUNE_PAD prune slack dominates them.
                 key_k = key_ref[0, g, jnp.minimum(k, n_c - 1)]
                 return (k < count) & (key_k <= prune_i)
 
@@ -597,7 +610,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                                 jnp.where(ok, jnp.int32(1), jnp.int32(0)),
                                 axis=1, keepdims=True)
                             pr_ = (jnp.max(jnp.where(occ_ > 0, _NEG_I,
-                                                     tcap_i)) + 256)
+                                                     tcap_i)) + _PRUNE_PAD)
                             return occ_, nv_ + 1, pr_
                         st = jax.lax.cond(block_entry_at(ent_i, s) <= st[2],
                                           visit, lambda stv: stv, st)
@@ -605,7 +618,8 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     return k + 1, prune_i, occ, nvis
 
                 occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
-                prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
+                prune0 = (jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i))
+                          + _PRUNE_PAD)
                 k, _, occ, nvis = jax.lax.while_loop(
                     cond, body, (jnp.int32(0), prune0, occ0, jnp.int32(0)))
                 out_ref[g * R:(g + 1) * R] = occ.reshape(R)
@@ -614,14 +628,16 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     k, prune_i, occ = state
                     wj = fetch_weights(k)
                     ok, _, _ = mt_accept(wj)
-                    occ = occ | jnp.max(jnp.where(ok, jnp.int32(1), jnp.int32(0)), axis=1,
-                                        keepdims=True)
+                    occ = occ | jnp.max(
+                        jnp.where(ok, jnp.int32(1), jnp.int32(0)),
+                        axis=1, keepdims=True)
                     prune_i = (jnp.max(jnp.where(occ > 0, _NEG_I, tcap_i))
-                               + 256)
+                               + _PRUNE_PAD)
                     return k + 1, prune_i, occ
 
                 occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
-                prune0 = jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i)) + 256
+                prune0 = (jnp.max(jnp.where(occ0 > 0, _NEG_I, tcap_i))
+                          + _PRUNE_PAD)
                 state = jax.lax.while_loop(cond, body,
                                            (jnp.int32(0), prune0, occ0))
                 k, _, occ = state
@@ -647,7 +663,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                             wj = wsup[s] if stream else w_ref[sid * S + s]
                             t_, pid_ = winner_update(wj, sid * S + s, t_,
                                                      pid_)
-                            pr_ = jnp.max(jnp.minimum(t_, tcap_i)) + 256
+                            pr_ = jnp.max(jnp.minimum(t_, tcap_i)) + _PRUNE_PAD
                             return t_, pid_, nv_ + 1, pr_
                         st = jax.lax.cond(block_entry_at(ent_i, s) <= st[3],
                                           visit, lambda stv: stv, st)
@@ -656,7 +672,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
 
                 t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
                 pid0 = jnp.full((R, 1), -1, jnp.int32)
-                prune0 = jnp.max(tcap_i) + 256
+                prune0 = jnp.max(tcap_i) + _PRUNE_PAD
                 k, _, _, pid, nvis = jax.lax.while_loop(
                     cond, body,
                     (jnp.int32(0), prune0, t0, pid0, jnp.int32(0)))
@@ -667,12 +683,12 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     cid = key_ref[0, g, k] & cmask
                     wj = fetch_weights(k)
                     t_i, pid = winner_update(wj, cid, t_i, pid)
-                    prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + 256
+                    prune_i = jnp.max(jnp.minimum(t_i, tcap_i)) + _PRUNE_PAD
                     return k + 1, prune_i, t_i, pid
 
                 t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
                 pid0 = jnp.full((R, 1), -1, jnp.int32)
-                prune0 = jnp.max(tcap_i) + 256
+                prune0 = jnp.max(tcap_i) + _PRUNE_PAD
                 state = jax.lax.while_loop(
                     cond, body, (jnp.int32(0), prune0, t0, pid0))
                 k, _, _, pid = state
@@ -932,7 +948,7 @@ def _closest_search(cs, eye, dir_cols, tmin=None, tmax=None):
         (cs, eye, dir_cols, tmin, tmax))
     window = tmin is not None or tmax is not None
     R = dir_cols[0].shape[0]
-    w = _pack_weights(cl.cluster_weights_common_origin(cs, eye))
+    w = cl.cluster_weights_common_origin_packed(cs, eye)
     lo = cs.lo - eye
     hi = cs.hi - eye
     root_lo, root_hi = _scene_root(cs)
@@ -1116,7 +1132,7 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
         cs = cl.build_clusters_treelet(soup)
     else:
         cs = _detach_f32(clusters)
-    w = _pack_weights(cl.cluster_weights_generic(cs, shift))
+    w = cl.cluster_weights_generic_packed(cs, shift)
     lo = cs.lo - shift
     hi = cs.hi - shift
     root_lo, root_hi = _scene_root(cs)
@@ -1185,7 +1201,7 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
         cs = cl.build_clusters_treelet(soup)
     else:
         cs = _detach_f32(clusters)
-    w = _pack_weights(cl.cluster_weights_common_origin(cs, dest))
+    w = cl.cluster_weights_common_origin_packed(cs, dest)
     lo = cs.lo - dest
     hi = cs.hi - dest
     root_lo, root_hi = _scene_root(cs)
