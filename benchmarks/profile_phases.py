@@ -64,8 +64,14 @@ def main():
 
     @jax.jit
     def full_frame(v):
+        # Clusters hoisted out of the frame loop (the reference builds its
+        # BVH before the loop, anim.cpp:62-66) — same as bench.py.
+        cs0 = cl.build_clusters_treelet(
+            triangle_soup(v, fj, with_normals=False))
+
         def body(i, acc):
-            image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3, config)
+            image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3,
+                                       config, clusters=cs0)
             return acc + image.sum()
         return jax.lax.fori_loop(0, REPS, body, 0.0)
 
@@ -86,9 +92,11 @@ def main():
     @jax.jit
     def prepass_only(d):
         def body(i, acc):
+            dc = (d[:, 0] + i * 1e-7, d[:, 1], d[:, 2])
+            dp = tuple(mk._pad_rays(c) for c in dc)
+            dirs_tiled = tuple(c.reshape(-1, mk.TILE) for c in dp)
             lists, entry, counts = mk._tile_cluster_lists(
-                cs.lo - camera.eye, cs.hi - camera.eye,
-                mk._tile_rays(d + i * 1e-7, mk.TILE))
+                cs.lo - camera.eye, cs.hi - camera.eye, dirs_tiled)
             return acc + jnp.sum(counts) + jnp.sum(entry[0])
         return jax.lax.fori_loop(0, REPS, body, 0.0)
 
@@ -114,7 +122,20 @@ def main():
     sun_line = sun_line / jnp.linalg.norm(sun_line, axis=-1, keepdims=True)
 
     @jax.jit
+    def shadow_only(p):
+        # The DEFAULT shadow path: common-destination segment test from
+        # the sun (renderer.py non-compat branch).
+        def body(i, acc):
+            occ = mk.any_hit_to_point(soup, sun + i * 1e-3, p,
+                                      skip=~hit.mask, clusters=cs)
+            return acc + jnp.sum(occ)
+        return jax.lax.fori_loop(0, REPS, body, 0)
+
+    results["shadow_any_dest_total"] = timeit(shadow_only, point)
+
+    @jax.jit
     def any_only(p, s):
+        # The compat-mode generic-ray occlusion (tmax = inf).
         center = jnp.mean(soup.p0, axis=0)
         def body(i, acc):
             occ = mk.any_hit(soup, center, p + i * 1e-7, s, skip=~hit.mask,
@@ -122,7 +143,7 @@ def main():
             return acc + jnp.sum(occ)
         return jax.lax.fori_loop(0, REPS, body, 0)
 
-    results["any_hit_total"] = timeit(any_only, point, sun_line)
+    results["any_hit_generic_total"] = timeit(any_only, point, sun_line)
 
     n_tiles = dirs.shape[0] // mk.TILE
     results["meta"] = {

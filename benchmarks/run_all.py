@@ -204,7 +204,7 @@ def main() -> int:
     cfg5 = RenderConfig(width=621, height=1344, mode="smooth",
                         backend="megakernel")
 
-    def anim_body(v, i):
+    def anim_body(v, i, aux):
         frames, _ = _render_frames_jit(v, fj, cam2, sun + i * 1e-3, tracks,
                                        cfg5, mesh, n_frames)
         return frames.sum()

@@ -96,11 +96,15 @@ _RESIDENT_W_BYTES = 8 << 20
 # bounded at ~_SUPER_TARGET supers — the O(tiles x N_c) prepass ceiling
 # (and its 134 MB key tensor at ~1M triangles) becomes O(tiles x 1024)
 # regardless of scene size. Below the threshold the flat single-level
-# walk is unchanged: the in-kernel gating carries real per-super
-# overhead, so the two-level walk only pays off once the dense prepass
-# and its per-tile sort are the growing term (measured: dragon's 368
-# blocks run ~2x faster flat; the crossover sits in the thousands).
-_HIER_MIN_CLUSTERS = 2048
+# walk is unchanged, and measured FASTER wherever it compiles (dragon's
+# 368 blocks: 2x; a 318k-tri subdivided bunny at 4968 blocks: 275 vs
+# 393 ms/frame) — the in-kernel gating carries per-super overhead the
+# prepass savings don't repay at these sizes. The flat walk's hard wall
+# is SMEM: its double-buffered per-group key window (G x n_c x 4 B x 2)
+# exceeds the 1 MB budget at 16384 blocks (a 1.27M-triangle scene fails
+# to compile flat; the two-level walk renders it). The threshold sits
+# just under that wall with margin for the counts/hull windows.
+_HIER_MIN_CLUSTERS = 12288
 _SUPER_TARGET = 1024
 _SUPER_MAX = 32   # gate bitmask lives in one int32
 
@@ -115,17 +119,18 @@ def _super_factor(n_c: int) -> int:
         s *= 2
     return s
 
-# Prune-key slack, in int32 ulps of the f32 bit pattern (~5e-4 relative
-# near a binade top). The walk's early exit is only conservative if the
-# padded prune covers every way the carried t keys UNDERSTATE the true
-# hit distances: the cleared low mantissa bits (127 ulp) PLUS the
-# hardware approximate reciprocal in the winner t (measured 1.6e-5
-# relative in interpret emulation; budgeted at 2^-12 for the TPU
-# hardware op). 256 ulp was enough for clearing alone; with the approx
-# reciprocal it was measurably non-conservative (winner misses ~1e-3 on
-# adversarial near-tie soups). The cost of the wider pad is a handful of
-# extra scheduled visits at exit boundaries — noise.
-_PRUNE_PAD = 4096
+# Prune-key slack, in int32 ulps of the f32 bit pattern (~3e-5
+# relative). The walk's early exit is only conservative if the padded
+# prune covers every way the carried t keys UNDERSTATE the true hit
+# distances — here only the cleared low mantissa bits (127 ulp; the
+# winner t uses the EXACT reciprocal, see winner_update). Two measured
+# dead ends are documented by this constant's history: an approximate
+# reciprocal (error ~2^-16) made 256 ulp non-conservative (winner
+# misses ~1e-3 relative on near-tie soups — the pad must dominate every
+# understatement source), and widening to 4096 ulp cost a real 17% of
+# frame time in extra boundary visits while the approx reciprocal
+# itself saved nothing measurable.
+_PRUNE_PAD = 256
 
 # "No hit" sentinel whose low mantissa bits are zero (survives the winner
 # key's idx-bit clearing), and its int32 bit pattern.
@@ -570,14 +575,14 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
             def winner_update(wj, bid, t_i, pid):
                 """MT accept + per-visit winner selection for one block."""
                 ok, nd, nt = mt_accept(wj)
-                # Approximate reciprocal: t only feeds winner SELECTION
-                # (the returned t/u/v are recomputed exactly at the
-                # winners in plain JAX), so the ~2^-14 relative error
-                # merely widens the existing 2^-16 tie-break window from
-                # the cleared mantissa bits. nd == 0 lanes produce
-                # inf/NaN which ok (which requires nd != 0) masks to
-                # _BIG_CLEAN.
-                tpair = jnp.where(ok, nt * pl.reciprocal(nd, approx=True),
+                # EXACT reciprocal: an approx=True variant saved no
+                # measurable time (the divide is not the bottleneck) and
+                # its ~2^-16 error forced a prune pad so wide the extra
+                # boundary visits cost 17% of the frame. t only feeds
+                # winner SELECTION (t/u/v are recomputed at the winners
+                # in plain JAX); nd == 0 lanes produce inf/NaN which ok
+                # (requiring nd != 0) masks to _BIG_CLEAN.
+                tpair = jnp.where(ok, nt * pl.reciprocal(nd, approx=False),
                                   _BIG_CLEAN)
                 if window:
                     tpair = jnp.where((tpair >= tmin_f) & (tpair <= tmax_f),
