@@ -998,12 +998,17 @@ def _winner_tuv(rec, eye, dir_cols):
     winners instead of through the R x T search — this is where gradients
     of (t, u, v) w.r.t. vertices / camera / ray directions come from.
     ``rec`` is the sequence of gathered winner-table COLUMNS
-    [p0 x3, e1 x3, e2 x3, n x3, ...]; all math is column (R,) ops.
+    [p0 x3, e1 x3, e2 x3, ...]; all math is column (R,) ops. The face
+    normal is RECOMPUTED as cross(e1, e2) — bit-identical to the stored
+    soup.n (mesh.py builds it with the same formula) and 9 column ops
+    beat gathering three more 8 MB winner columns per frame.
     """
     p0 = (rec[0], rec[1], rec[2])
     e1 = (rec[3], rec[4], rec[5])
     e2 = (rec[6], rec[7], rec[8])
-    n = (rec[9], rec[10], rec[11])
+    n = (e1[1] * e2[2] - e1[2] * e2[1],
+         e1[2] * e2[0] - e1[0] * e2[2],
+         e1[0] * e2[1] - e1[1] * e2[0])
     d = dir_cols
     c = tuple(p0[a] - eye[a] for a in range(3))
     r = (d[1] * c[2] - d[2] * c[1],
@@ -1023,7 +1028,7 @@ def _winner_tuv(rec, eye, dir_cols):
 def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
     """List of (N_c * C,) winner-table COLUMNS in cluster-slot order.
 
-    Column layout: [p0 x3, e1 x3, e2 x3, n x3, perm_bits, payload...] of
+    Column layout: [p0 x3, e1 x3, e2 x3, perm, payload...] of
     the triangle stored at each slot, so per-column gathers by the
     kernel's packed winner id serve the differentiable (t, u, v)
     recompute, the original triangle id (perm as an exact f32 VALUE — ids
@@ -1031,9 +1036,11 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
     value survives the dense-unpack matmul where a bit pattern would be
     denormal-flushed; a separate s32 gather by original id lowers to a
     15 ms/frame scalar-loop custom call), and any per-triangle shading
-    payload. COLUMNS, not a
-    (slots, 13+P) table: a row-major table's minor dim is lane-padded
-    25 -> 128 by XLA, and every downstream column slice then re-streams
+    payload. The face normal is NOT stored — _winner_tuv recomputes it
+    as cross(e1, e2) (bit-identical; saves three 8 MB gathered columns
+    per frame). COLUMNS, not a
+    (slots, 10+P) table: a row-major table's minor dim is lane-padded
+    to 128 by XLA, and every downstream column slice then re-streams
     the whole ~1 GB padded gather output (measured ~21 ms/frame at
     1080p). Built from ``soup`` (NOT the stop-gradiented cluster arrays)
     so gradients flow to vertices through the gather.
@@ -1041,7 +1048,7 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
     src = jnp.clip(cs.perm, 0)
     valid = cs.perm >= 0
     cols = []
-    for arr in (soup.p0, soup.e1, soup.e2, soup.n):
+    for arr in (soup.p0, soup.e1, soup.e2):
         for a in range(3):
             cols.append(jnp.where(valid, arr[src, a], 0.0))
     cols.append(cs.perm.astype(jnp.float32))
@@ -1052,7 +1059,7 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
 
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
                               with_counts=False, payload=None,
-                              tmin=None, tmax=None):
+                              tmin=None, tmax=None, normal_cols=False):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
     ``dirs`` is (R, 3) or a 3-tuple of (R,) columns (the fast form — all
@@ -1071,7 +1078,11 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
 
     ``payload`` (a sequence of P per-triangle (T,) columns, e.g. shading
     normals) rides the winner gather: returns (hit, payload_cols — a
-    P-tuple of (R,) columns) with zeros at misses. ``with_counts=True``
+    P-tuple of (R,) columns) with zeros at misses. ``normal_cols=True``
+    PREPENDS the winner's face-normal columns (3) to the returned
+    payload — recomputed as cross(e1, e2) from the already-gathered
+    edge columns, bit-identical to gathering soup.n and three 8 MB
+    winner columns cheaper per frame. ``with_counts=True``
     additionally returns the traversal
     counters (MEASURED walk-loop cluster visits — early exits included,
     so steps == executed MT blocks) — the SingleRayTraverser::Statistics
@@ -1103,13 +1114,20 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
                       jnp.transpose(table[idx]),
                       precision=jax.lax.Precision.HIGHEST)
     rec = tuple(recT)
-    prim = jnp.where(mask, rec[12].astype(jnp.int32), 0)
+    prim = jnp.where(mask, rec[9].astype(jnp.int32), 0)
     t, u, v = _winner_tuv(rec, eye, dir_cols)
     hit = Hit(t=jnp.where(mask, t, jnp.inf),
               u=jnp.where(mask, u, 0.0),
               v=jnp.where(mask, v, 0.0),
               prim_id=prim, mask=mask)
-    out = (hit,) if payload is None else (hit, rec[13:])
+    out_pay = tuple(rec[10:])
+    if normal_cols:
+        e1c, e2c = rec[3:6], rec[6:9]
+        out_pay = (e1c[1] * e2c[2] - e1c[2] * e2c[1],
+                   e1c[2] * e2c[0] - e1c[0] * e2c[2],
+                   e1c[0] * e2c[1] - e1c[1] * e2c[0]) + out_pay
+    out = ((hit,) if payload is None and not normal_cols
+           else (hit, out_pay))
     if with_counts:
         counts["mt_pairs"] = (counts["mt_block_visits"]
                               * TILE * cs.cluster_size)

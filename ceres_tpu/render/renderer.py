@@ -138,14 +138,17 @@ def render_wavefront_cols(
     # gather is per-column, keeping every gathered array dense — a packed
     # (T, P) payload row would be lane-padded P -> 128 by XLA and each
     # downstream column slice re-streams the whole padded gather output
-    # (~21 ms/frame measured at 1080p).
-    payload = [soup.n[:, a] for a in range(3)]
+    # (~21 ms/frame measured at 1080p). The face normal is NOT in the
+    # payload: normal_cols=True prepends it recomputed from the winner's
+    # edge columns (three fewer 8 MB gathers per frame), so the returned
+    # ``pay`` still reads [n x3, corners x9?, compat verts x9?].
+    payload = []
     if config.mode == "smooth":
         if soup.corner_normals is None:
             raise ValueError("smooth shading requires corner_normals")
         cn = soup.corner_normals
         payload += [cn[:, k, a] for k in range(3) for a in range(3)]
-    n_pay = len(payload)
+    n_pay = len(payload) + 3
     if config.reference_compat:
         # The compat hit point needs the winner's vertices; they ride the
         # same winner gather as the shading payload.
@@ -153,7 +156,7 @@ def render_wavefront_cols(
             payload += [arr[:, a] for a in range(3)]
     res = megakernel.closest_hit_common_origin(
         soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
-        with_counts=want_counts)
+        with_counts=want_counts, normal_cols=True)
     (hit, pay), counts1 = (res[:2], res[2]) if want_counts else (res, None)
     mask = hit.mask
     n = (pay[0], pay[1], pay[2])
