@@ -493,6 +493,14 @@ def render(
 ):
     """User-facing render call. kwargs override RenderConfig fields.
 
+    Each call builds the acceleration structure for the given mesh (the
+    dragon's treelet build is ~100 ms on a v5e — comparable to its
+    84 ms frame). For FRAME LOOPS over static geometry, hoist it: call
+    render_pipeline with a prebuilt ClusterSet (clusters=...), or use
+    the animation / sharded entry points, which hoist the build outside
+    their frame loops themselves — the reference's own shape (BVH built
+    once before the loop, anim.cpp:62-66).
+
     Precision follows the input dtype — the reference's one real config
     axis (``Scalar`` float/double, anim.cpp:154-158): pass float64
     vertices (with jax x64 enabled) for a double-precision render. On
