@@ -8,7 +8,9 @@ intersection quantity analytic).
 
 The train step is the framework's "training step": forward render (single
 chip or shard_map over a mesh), photometric loss, backward through the
-megakernel's custom VJP, optimizer update. Under a mesh, gradients of the
+megakernel's gradient path (detached winner search + plain-JAX recompute
+at the winners — no custom VJP, megakernel.py docstring), optimizer
+update. Under a mesh, gradients of the
 replicated vertex/camera parameters are psum'd across chips by shard_map's
 transpose — the all-reduce overlapped with the backward pass by XLA.
 """

@@ -513,10 +513,16 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
 
             def cond(state):
                 k, prune_i = state[0], state[1]
-                # The key's low cid bits only raise it past the pure entry
-                # bound; the _PRUNE_PAD prune slack dominates them.
+                # Compare the PURE entry bound: mask the low cid bits
+                # before the prune test. They raise the key by up to
+                # 2^cid_bits - 1 ulps, which EXCEEDS _PRUNE_PAD once
+                # n_c > 256 — testing the full key would non-
+                # conservatively end the walk while a remaining candidate
+                # can still hold a closer hit. The cleared entry bound is
+                # a lower bound of any member hit, so masking only costs
+                # (skippable) boundary visits, never correctness.
                 key_k = key_ref[0, g, jnp.minimum(k, n_c - 1)]
-                return (k < count) & (key_k <= prune_i)
+                return (k < count) & ((key_k & ~cmask) <= prune_i)
 
             def mt_accept(wj):
                 """All R x C MT numerators of this cluster; sign-test

@@ -421,3 +421,89 @@ class TestWeightStreaming:
             jax.clear_caches()  # drop executables traced with streaming on
         np.testing.assert_array_equal(img, ref)
         assert hits == int(ref_stats["hits"])
+
+
+class TestPruneExitCidBits:
+    """Adversarial near-tie with n_c > 256 (VERDICT r4 weakness 2).
+
+    The candidate key packs (cleared entry bound | cluster id); the id
+    bits raise the key above the pure entry bound by up to
+    2^cid_bits - 1 ulps, which EXCEEDS the _PRUNE_PAD = 256 slack once
+    n_c > 256. The walk's exit test must mask the id bits, or a
+    candidate whose true entry is below the prune gets skipped — and
+    because the exit ends the WHOLE walk, every remaining candidate is
+    lost with it. This test constructs the exact boundary case and
+    fails on the unmasked `key_k <= prune_i` exit.
+    """
+
+    def test_high_cid_candidate_still_visited(self):
+        C = 8
+        n_c = 1026            # cid_bits = 11 -> ids raise keys up to 2047 ulp
+        cid_b = 1000          # > _PRUNE_PAD = 256
+        R = 8
+
+        def fbits(x):
+            return int(np.float32(x).view(np.int32))
+
+        def bitsf(i):
+            return float(np.int32(i).view(np.float32))
+
+        # Ray 1's tcap sits exactly on a 2048-ulp grid boundary so the
+        # prune is boundary + 256 and any cid > 256 with a same-cell
+        # entry bound pushes the unmasked key past it.
+        tcap1 = 4.5
+        assert fbits(tcap1) & 2047 == 0
+        prune_after_a = fbits(tcap1) + mk._PRUNE_PAD
+        entry_b_bits = fbits(tcap1) + 0x100     # same 2048-cell, <= prune
+        t_b = bitsf(fbits(tcap1) + 0x200)       # true hit >= entry bound
+
+        # Cluster 0: plane z=1 patch over ray 0 only. Cluster cid_b:
+        # plane z=t_b patch over ray 1 only (ray 1 dir (1,0,1): x=z).
+        tris = {
+            0: [(-0.5, -0.5, 1.0), (0.5, -0.5, 1.0), (0.0, 0.5, 1.0)],
+            cid_b: [(3.0, -2.0, t_b), (6.0, -2.0, t_b), (4.5, 2.0, t_b)],
+        }
+        p0 = np.zeros((n_c, C, 3), np.float32)
+        e1 = np.zeros((n_c, C, 3), np.float32)
+        e2 = np.zeros((n_c, C, 3), np.float32)
+        nn = np.zeros((n_c, C, 3), np.float32)
+        for cid, (a, b, c) in tris.items():
+            a, b, c = (np.asarray(v, np.float32) for v in (a, b, c))
+            p0[cid, 0] = a
+            e1[cid, 0] = a - b
+            e2[cid, 0] = c - a
+            nn[cid, 0] = np.cross(e1[cid, 0], e2[cid, 0])
+        cs = cl.ClusterSet(
+            p0=jnp.asarray(p0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            n=jnp.asarray(nn),
+            lo=jnp.zeros((n_c, 3)), hi=jnp.zeros((n_c, 3)),
+            perm=jnp.full((n_c * C,), -1, jnp.int32))
+        w = cl.cluster_weights_common_origin_packed(cs, jnp.zeros((3,)))
+
+        dirs = np.zeros((3, R), np.float32)
+        dirs[:, 0] = [0.0, 0.0, 1.0]       # hits cluster 0 at t = 1.0
+        dirs[:, 1] = [1.0, 0.0, 1.0]       # hits cluster cid_b at t = t_b
+        tcap = np.full((R,), -1.0, np.float32)
+        tcap[0] = 2.0
+        tcap[1] = tcap1
+        feats = mk._feats_from_cols(
+            tuple(jnp.asarray(dirs[a]) for a in range(3)), w.shape[1],
+            tcap=jnp.asarray(tcap))
+
+        cmask = (1 << mk._cid_bits(n_c)) - 1
+        key_a = (fbits(0.9) & ~cmask) | 0
+        key_b = (entry_b_bits & ~cmask) | cid_b
+        assert key_b > prune_after_a          # unmasked exit would fire
+        assert (key_b & ~cmask) <= prune_after_a
+        keys = np.full((1, n_c), 0x7F000000, np.int32)
+        keys[0, 0] = key_a
+        keys[0, 1] = key_b
+        counts = np.asarray([2], np.int32)
+
+        pidx, steps = mk._walk_pallas(
+            jnp.asarray(counts), jnp.asarray(keys), feats, w,
+            tcap_col=4, mode="closest", stream=False, interpret=True)
+        pidx = np.asarray(pidx)
+        assert pidx[0] == 0                       # cluster 0, slot 0
+        assert pidx[1] == cid_b * C + 0           # the near-tie candidate
+        assert int(np.asarray(steps)[0, 0]) == 2  # both candidates visited
