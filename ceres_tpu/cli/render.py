@@ -107,10 +107,6 @@ def run(args) -> int:
     if args.sphere:
         sp = np.asarray(args.sphere, scalar)           # (S, 4)
         spheres = (sp[:, :3], sp[:, 3])
-        if args.sharded or args.primitive_sharded:
-            print("Error: --sphere is single-device only (use the plain "
-                  "render path)", file=sys.stderr)
-            return 1
 
     t1 = time.perf_counter()
     if args.primitive_sharded:
@@ -119,14 +115,14 @@ def run(args) -> int:
         image, stats = render_primitive_sharded(
             vertices, faces, camera, sun, width=args.width,
             height=args.height, mode=args.mode, backend=args.backend,
-            shadows=not args.no_shadows)
+            shadows=not args.no_shadows, spheres=spheres)
     elif args.sharded:
         from ceres_tpu.parallel.sharded import render_sharded
 
         image, stats = render_sharded(
             vertices, faces, camera, sun, width=args.width,
             height=args.height, mode=args.mode, backend=args.backend,
-            shadows=not args.no_shadows)
+            shadows=not args.no_shadows, spheres=spheres)
     else:
         image, stats = render(
             vertices, faces, camera, sun, width=args.width,

