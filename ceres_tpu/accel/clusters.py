@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,15 @@ class ClusterSet:
     conclusion: no indirection inside the hot loop at all). Padding
     triangles are all-zero records, which Möller-Trumbore rejects
     (det = 0 -> u = NaN -> NaN-safe accept is False, triangle.hpp:106-108).
+
+    ``super_first``/``super_S`` (optional) carry the TREE-DERIVED super
+    level for the megakernel's two-level walk: super j's member clusters
+    are the contiguous fine ids [super_first[j], super_first[j+1]), at
+    most ``super_S`` of them, and each super is a real LBVH node
+    (lbvh.super_cut) — so its box (the union of its members' boxes,
+    derived at search time) is tight, unlike unions of S consecutive
+    blocks. ``super_first`` is padded with N_c past the real supers.
+    Kept valid by refit (only boxes move; the cut is topology).
     """
 
     p0: jax.Array    # (N_c, C, 3)
@@ -64,6 +74,9 @@ class ClusterSet:
     lo: jax.Array    # (N_c, 3) cluster AABB min corners
     hi: jax.Array    # (N_c, 3) cluster AABB max corners
     perm: jax.Array  # (N_c * C,) int32, original triangle id or -1
+    super_first: Optional[jax.Array] = None  # (N_s,) int32 first fine id
+    super_S: int = dataclasses.field(
+        default=0, metadata=dict(static=True))  # member slots per super
 
     @property
     def num_clusters(self) -> int:
@@ -184,10 +197,38 @@ def build_clusters_treelet(soup: TriangleSoup,
     lo = jnp.full((n_cap, 3), jnp.inf).at[cluster_of].min(bvh.leaf_lo)
     hi = jnp.full((n_cap, 3), -jnp.inf).at[cluster_of].max(bvh.leaf_hi)
     del valid
+
+    # Tree-derived SUPER level for the two-level walk: a second cut at
+    # <= S fine clusters per super (lbvh.super_cut). Built here because
+    # only the builder still holds the tree; stored as the (N_s,)
+    # first-member table (boxes derive from the fine boxes at search
+    # time, which keeps refit valid for free). Falls back to uniform
+    # S-runs of fine ids (exactly the old consecutive-blocks supers)
+    # when the fine cut itself fell back or the super cut overflows its
+    # static budget.
+    from ceres_tpu.ops.megakernel import _super_slots
+
+    S = _super_slots(n_cap)
+    n_s_cap = 2 * (-(-n_cap // S))
+    starts2, super_of = lbvh_mod.super_cut(
+        bvh, jnp.where(use_cut, starts, (pos % C == 0).astype(jnp.int32)),
+        S)
+    n_s = jnp.sum(starts2)
+    use_super = use_cut & (n_s <= n_s_cap)
+    # First sorted position of each super -> the fine id at it.
+    sp = jnp.full((n_s_cap,), T, jnp.int32).at[
+        jnp.where(starts2 == 1, super_of, n_s_cap)].min(pos, mode="drop")
+    first_cut = jnp.where(sp < T, cluster_of[jnp.clip(sp, 0, T - 1)], n_cap)
+    first_uniform = jnp.minimum(
+        jnp.arange(n_s_cap, dtype=jnp.int32) * S, n_cap)
+    super_first = jnp.where(use_super, first_cut, first_uniform)
+
     return ClusterSet(p0=p0, e1=e1, e2=e2, n=n,
                       lo=jax.lax.stop_gradient(lo),
                       hi=jax.lax.stop_gradient(hi),
-                      perm=perm)
+                      perm=perm,
+                      super_first=jax.lax.stop_gradient(super_first),
+                      super_S=S)
 
 
 def refit_clusters(clusters: ClusterSet, soup: TriangleSoup) -> ClusterSet:
@@ -224,10 +265,15 @@ def refit_clusters(clusters: ClusterSet, soup: TriangleSoup) -> ClusterSet:
     vmask = valid.reshape(n_c, C)[..., None]
     lo = jnp.where(vmask, tri_lo, jnp.inf).min(axis=1)
     hi = jnp.where(vmask, tri_hi, -jnp.inf).max(axis=1)
+    # The super cut is pure topology: it survives a refit unchanged
+    # (its boxes are derived from the refitted fine boxes at search
+    # time).
     return ClusterSet(p0=p0, e1=e1, e2=e2, n=n,
                       lo=jax.lax.stop_gradient(lo),
                       hi=jax.lax.stop_gradient(hi),
-                      perm=perm)
+                      perm=perm,
+                      super_first=clusters.super_first,
+                      super_S=clusters.super_S)
 
 
 def _stack_packed_rows(rows, n_c, kp):

@@ -262,3 +262,36 @@ def cluster_cut(bvh: Lbvh, cluster_size: int):
                                  T)].set(1, mode="drop")
     cluster_of = jnp.cumsum(starts) - 1
     return starts, cluster_of
+
+
+def super_cut(bvh: Lbvh, fine_starts: jax.Array, max_fine: int):
+    """SECOND-level treelet cut: supers of <= ``max_fine`` FINE clusters.
+
+    The two-level walk's upper level (megakernel two-level mode): a super
+    is a maximal subtree containing at most ``max_fine`` fine-cluster
+    starts (``fine_starts`` is :func:`cluster_cut`'s starts array), so
+    every super is a REAL tree node whose box is the union of whole fine
+    clusters — in contrast to unions of S *consecutive* blocks, which
+    are loose wherever the morton curve jumps. A super's fine members
+    are contiguous in cut order (cut ranges tile the sorted positions
+    and never split a fine cluster: a cut node strictly inside a fine
+    cluster would have a parent with <= 1 start, never > max_fine).
+
+    Returns (starts2, super_of_pos): same encoding as cluster_cut, at
+    super granularity.
+    """
+    T = bvh.num_triangles
+    ps = jnp.cumsum(fine_starts)                     # starts up to pos
+    lo = bvh.range_lo
+    cnt = ps[bvh.range_hi] - jnp.where(lo > 0, ps[jnp.clip(lo - 1, 0)], 0)
+    pcnt = jnp.where(bvh.parent >= 0, cnt[jnp.clip(bvh.parent, 0)], T + 1)
+    cut = (cnt <= max_fine) & (pcnt > max_fine)
+    leaf_pcnt = cnt[bvh.leaf_parent]
+    leaf_cut = leaf_pcnt > max_fine
+
+    starts2 = jnp.zeros((T,), jnp.int32)
+    starts2 = starts2.at[jnp.where(cut, lo, T)].set(1, mode="drop")
+    starts2 = starts2.at[jnp.where(leaf_cut, jnp.arange(T, dtype=jnp.int32),
+                                  T)].set(1, mode="drop")
+    super_of = jnp.cumsum(starts2) - 1
+    return starts2, super_of

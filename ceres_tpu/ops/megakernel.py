@@ -87,19 +87,24 @@ _DEST_EPS = 4e-6      # t-window margin for common-destination occlusion
 _RESIDENT_W_BYTES = 8 << 20
 
 # Above this many 128-triangle blocks the walk goes TWO-LEVEL: the dense
-# culling prepass + sort runs over SUPERS of S consecutive blocks (the
-# treelet order is spatially coherent, so consecutive blocks cluster),
-# and the kernel gates each member block with an in-kernel interval test
+# culling prepass + sort runs over SUPERS of up to S member blocks, and
+# the kernel gates each member block with an in-kernel interval test
 # of the tile hull against the block's box (one vectorized slab test +
 # one gate-bitmask reduce per super visit; culled blocks skip their MT
-# matmul via lax.cond). S grows with the scene so the prepass stays
+# matmul via lax.cond). Supers come from the LBVH's OWN upper levels
+# when available (ClusterSet.super_first — a second treelet cut at <= S
+# fine clusters per super, lbvh.super_cut), so a super's box is a real
+# tree-node box; the fallback groups S consecutive blocks (treelet
+# order is spatially coherent, but such unions are loose wherever the
+# morton curve jumps). S grows with the scene so the prepass stays
 # bounded at ~_SUPER_TARGET supers — the O(tiles x N_c) prepass ceiling
 # (and its 134 MB key tensor at ~1M triangles) becomes O(tiles x 1024)
 # regardless of scene size. Below the threshold the flat single-level
 # walk is unchanged, and measured FASTER wherever it compiles (dragon's
 # 368 blocks: 2x; a 318k-tri subdivided bunny at 4968 blocks: 275 vs
-# 393 ms/frame) — the in-kernel gating carries per-super overhead the
-# prepass savings don't repay at these sizes. The flat walk's hard wall
+# 393 ms/frame with r4's consecutive-block supers) — the in-kernel
+# gating carries per-super overhead the prepass savings don't repay at
+# these sizes. The flat walk's hard wall
 # is SMEM: its double-buffered per-group key window (G x n_c x 4 B x 2)
 # exceeds the 1 MB budget at 16384 blocks (a 1.27M-triangle scene fails
 # to compile flat; the two-level walk renders it). The threshold sits
@@ -109,15 +114,20 @@ _SUPER_TARGET = 1024
 _SUPER_MAX = 32   # gate bitmask lives in one int32
 
 
-def _super_factor(n_c: int) -> int:
-    """Blocks per super: 1 = flat walk; else 8..32, keeping the super
-    count near _SUPER_TARGET."""
-    if n_c <= _HIER_MIN_CLUSTERS:
-        return 1
+def _super_slots(n_c: int) -> int:
+    """Member slots per super (8..32, keeping the super count near
+    _SUPER_TARGET) — the size the builder's super cut must match."""
     s = 8
     while -(-n_c // s) > _SUPER_TARGET and s < _SUPER_MAX:
         s *= 2
     return s
+
+
+def _super_factor(n_c: int) -> int:
+    """Blocks per super: 1 = flat walk; else _super_slots."""
+    if n_c <= _HIER_MIN_CLUSTERS:
+        return 1
+    return _super_slots(n_c)
 
 # Prune-key slack, in int32 ulps of the f32 bit pattern (~3e-5
 # relative). The walk's early exit is only conservative if the padded
@@ -272,31 +282,38 @@ def _tile_cluster_lists(lo, hi, dirs_tiled, origins_tiled=None, alive=None):
     return lists, entry, counts
 
 
-def _super_pack(lo, hi, S):
-    """Group S consecutive blocks into supers (treelet order is spatially
-    coherent, so consecutive blocks cluster).
+def _super_members(lo, hi, first, S):
+    """Super-level inputs from a per-super FIRST-member table.
 
-    ``lo``/``hi`` are the (N_c, 3) block boxes ALREADY shifted into the
-    kernel's frame. Returns (super_lo, super_hi — the (n_s, 3) union
-    boxes for the phase-1 prepass, empty-aware) and the (n_s, 8, S)
-    member-box tensor the kernel gates with: rows 0-2 lo.xyz, 3-5
-    hi.xyz, 6 the empty flag, 7 pad (sublane-aligned).
+    ``lo``/``hi`` are the (N_c, 3) fine block boxes ALREADY shifted into
+    the kernel's frame; super j's members are the contiguous fine ids
+    [first[j], first[j+1]) — at most S of them. ``first`` is either the
+    tree-derived super cut (ClusterSet.super_first: real LBVH nodes,
+    tight union boxes) or the uniform arange*S fallback (consecutive
+    runs). Returns (super_lo, super_hi — the (n_s, 3) union boxes for
+    the phase-1 prepass, empty-aware) and the (n_s, 8, S) member-box
+    tensor the kernel gates with: rows 0-2 lo.xyz, 3-5 hi.xyz, 6 the
+    empty flag, 7 pad (sublane-aligned). A super's union box equals the
+    covering tree node's real box (the node box IS the union of its
+    fine clusters' boxes).
     """
     n_c = lo.shape[0]
-    n_s = -(-n_c // S)
-    pad = n_s * S - n_c
-    if pad:
-        lo = jnp.concatenate([lo, jnp.full((pad, 3), 1.0, lo.dtype)])
-        hi = jnp.concatenate([hi, jnp.full((pad, 3), -1.0, hi.dtype)])
-    empty = jnp.any(hi < lo, axis=-1)                    # (n_s * S,)
-    lo_m = jnp.where(empty[:, None], _BIG, lo).reshape(n_s, S, 3)
-    hi_m = jnp.where(empty[:, None], -_BIG, hi).reshape(n_s, S, 3)
+    n_s = first.shape[0]
+    member = first[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    nxt = jnp.concatenate([first[1:], jnp.full((1,), n_c, jnp.int32)])
+    valid = (member < nxt[:, None]) & (member < n_c)
+    midx = jnp.clip(member, 0, n_c - 1)
+    mlo = lo[midx]                                       # (n_s, S, 3)
+    mhi = hi[midx]
+    empty = jnp.any(mhi < mlo, axis=-1) | ~valid         # (n_s, S)
+    lo_m = jnp.where(empty[..., None], _BIG, mlo)
+    hi_m = jnp.where(empty[..., None], -_BIG, mhi)
     super_lo = lo_m.min(axis=1)
     super_hi = hi_m.max(axis=1)
     bbox = jnp.concatenate([
-        jnp.transpose(lo.reshape(n_s, S, 3), (0, 2, 1)),
-        jnp.transpose(hi.reshape(n_s, S, 3), (0, 2, 1)),
-        empty.reshape(n_s, 1, S).astype(lo.dtype),
+        jnp.transpose(mlo, (0, 2, 1)),
+        jnp.transpose(mhi, (0, 2, 1)),
+        empty[:, None, :].astype(lo.dtype),
         jnp.zeros((n_s, 1, S), lo.dtype)], axis=1)
     return super_lo, super_hi, bbox
 
@@ -406,6 +423,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
         occ0_ref = refs.pop(0) if any_hit_mode else None
         hull_ref = refs.pop(0) if hier else None
         bbox_ref = refs.pop(0) if hier else None
+        first_ref = refs.pop(0) if hier else None
         w_ref = refs.pop(0)          # w_hbm when streaming
         out_ref = refs.pop(0)
         steps_ref = refs.pop(0)
@@ -447,15 +465,24 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 tmax_f = f[tcap_col + 2:tcap_col + 3, :].reshape(R, 1)
 
             if stream:
-                def start_fetch(k):
+                def _copy(k):
                     cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
-                    pltpu.make_async_copy(w_ref.at[cid], wbuf.at[k % 2],
-                                          sem.at[k % 2]).start()
+                    if hier:
+                        # Super fetch: S consecutive fine blocks from
+                        # the super's first member (tree-derived supers
+                        # are contiguous runs of fine ids).
+                        fs = first_ref[0, cid]
+                        src = w_ref.at[pl.ds(fs, S)]
+                    else:
+                        src = w_ref.at[cid]
+                    return pltpu.make_async_copy(src, wbuf.at[k % 2],
+                                                 sem.at[k % 2])
+
+                def start_fetch(k):
+                    _copy(k).start()
 
                 def wait_fetch(k):
-                    cid = key_ref[0, g, jnp.minimum(k, n_c - 1)] & cmask
-                    pltpu.make_async_copy(w_ref.at[cid], wbuf.at[k % 2],
-                                          sem.at[k % 2]).wait()
+                    _copy(k).wait()
 
                 @pl.when(count > 0)
                 def _():
@@ -606,6 +633,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 def body(state):
                     k, prune_i, occ, nvis = state
                     sid = key_ref[0, g, k] & cmask
+                    fs = first_ref[0, sid]
                     wsup = fetch_weights(k) if stream else None
                     ent_i = block_entries(sid)
                     # (occ, nvis, prune): the prune refreshes after every
@@ -615,7 +643,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     for s in range(S):
                         def visit(stv, s=s):
                             occ_, nv_, _ = stv
-                            wj = wsup[s] if stream else w_ref[sid * S + s]
+                            wj = wsup[s] if stream else w_ref[fs + s]
                             ok, _, _ = mt_accept(wj)
                             occ_ = occ_ | jnp.max(
                                 jnp.where(ok, jnp.int32(1), jnp.int32(0)),
@@ -658,6 +686,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 def body(state):
                     k, prune_i, t_i, pid, nvis = state
                     sid = key_ref[0, g, k] & cmask
+                    fs = first_ref[0, sid]
                     wsup = fetch_weights(k) if stream else None
                     ent_i = block_entries(sid)
                     # The prune refreshes after every gated visit so later
@@ -671,8 +700,8 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     for s in range(S):
                         def visit(stv, s=s):
                             t_, pid_, nv_, _ = stv
-                            wj = wsup[s] if stream else w_ref[sid * S + s]
-                            t_, pid_ = winner_update(wj, sid * S + s, t_,
+                            wj = wsup[s] if stream else w_ref[fs + s]
+                            t_, pid_ = winner_update(wj, fs + s, t_,
                                                      pid_)
                             pr_ = jnp.max(jnp.minimum(t_, tcap_i)) + _PRUNE_PAD
                             return t_, pid_, nv_ + 1, pr_
@@ -722,7 +751,8 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                                              "stream", "interpret", "S",
                                              "window"))
 def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
-                 *, tcap_col, mode, stream, interpret, S=1, window=False):
+                 first=None, *, tcap_col, mode, stream, interpret, S=1,
+                 window=False):
     """Launch the walk kernel over all tiles. Returns (out, steps).
 
     feats is CHANNEL-FIRST (Kp, n_tiles * R) — rays on the dense lane
@@ -735,20 +765,21 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
     Statistics capability, single_ray_traverser.hpp:131-163).
 
     ``S > 1`` selects the two-level walk: ``keys``/``counts`` are then
-    per-SUPER (n_tiles, n_s) candidates, ``w`` holds n_s * S blocks
-    (zero-padded), ``hull`` is the (n_tiles, 16) per-tile hull-scalar
-    table and ``bbox`` the (n_s, 8, S) member-block box tensor.
+    per-SUPER (n_tiles, n_s) candidates, ``w`` holds the fine blocks
+    (zero-padded by S), ``hull`` is the (n_tiles, 16) per-tile
+    hull-scalar table, ``bbox`` the (n_s, 8, S) member-block box tensor
+    and ``first`` the (n_s,) first-member table (member block m of
+    super j is fine block first[j] + m).
     """
     Kp, R_total = feats.shape
     n_tiles = counts.shape[0]
     R = R_total // n_tiles
+    C4 = w.shape[-1]
     if S > 1:
         n_s = bbox.shape[0]
         n_c = n_s                      # candidate-list width = supers
-        C4 = w.shape[-1]
-        w = w.reshape(n_s, S, Kp, C4) if stream else w
     else:
-        n_c, _, C4 = w.shape
+        n_c = w.shape[0]
     any_hit_mode = mode in ("any", "any_dest")
     G = min(_GROUP_TILES, n_tiles)
     pad_t = (-n_tiles) % G
@@ -784,14 +815,14 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
         in_specs.append(pl.BlockSpec((n_s, 8, S), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bbox)
+        in_specs.append(pl.BlockSpec((1, n_s), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(first.reshape(1, n_s))
     if stream:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-    elif S > 1:
-        in_specs.append(pl.BlockSpec((n_s * S, Kp, C4),
-                                     lambda i: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
     else:
-        in_specs.append(pl.BlockSpec((n_c, Kp, C4), lambda i: (0, 0, 0),
+        in_specs.append(pl.BlockSpec((w.shape[0], Kp, C4),
+                                     lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     args.append(w)
     wbuf_shape = (2, S, Kp, C4) if S > 1 else (2, Kp, C4)
@@ -926,24 +957,34 @@ def _detach_f32(tree):
     return jax.tree.map(leaf, tree)
 
 
-def _hier_setup(lo, hi, dirs_tiled, alive, origins_tiled, w):
+def _hier_setup(lo, hi, dirs_tiled, alive, origins_tiled, w, cs=None):
     """Choose flat vs two-level walk and build the super-level inputs.
 
-    Returns (S, hull, bbox, cull_lo, cull_hi, w): for S == 1 the inputs
-    pass through untouched (flat walk); for S > 1 the phase-1 culling
-    boxes become the super unions, ``w`` is zero-padded to n_s * S
-    blocks, and the kernel gets the per-tile hull table + member-box
-    tensor for in-kernel block gating.
+    Returns (S, hull, bbox, first, cull_lo, cull_hi, w): for S == 1 the
+    inputs pass through untouched (flat walk); for S > 1 the phase-1
+    culling boxes become the super unions, ``w`` is zero-padded by S
+    blocks (the kernel reads members as first + s), and the kernel gets
+    the per-tile hull table + member-box tensor + first-member table
+    for in-kernel block gating. The super level comes from the
+    ClusterSet's tree-derived cut when present (``cs.super_first``,
+    real LBVH nodes); otherwise uniform S-runs of consecutive blocks.
     """
-    S = _super_factor(lo.shape[0])
-    if S == 1:
-        return S, None, None, lo, hi, w
-    super_lo, super_hi, bbox = _super_pack(lo, hi, S)
+    n_c = lo.shape[0]
+    if n_c <= _HIER_MIN_CLUSTERS:
+        return 1, None, None, None, lo, hi, w
+    if cs is not None and cs.super_first is not None and cs.super_S > 1:
+        S = cs.super_S
+        first = cs.super_first
+    else:
+        S = _super_slots(n_c)
+        n_s = -(-n_c // S)
+        first = jnp.minimum(jnp.arange(n_s, dtype=jnp.int32) * S, n_c)
+    super_lo, super_hi, bbox = _super_members(lo, hi, first, S)
     hull = _tile_hulls(dirs_tiled, alive, origins_tiled)
-    pad = bbox.shape[0] * S - w.shape[0]
-    if pad:
-        w = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
-    return S, hull, bbox, super_lo, super_hi, w
+    # Member reads run to first + S - 1 <= n_c + S - 1: zero-pad the
+    # weight blocks (zero records are MT-rejected; gated off anyway).
+    w = jnp.pad(w, ((0, S), (0, 0), (0, 0)))
+    return S, hull, bbox, first, super_lo, super_hi, w
 
 
 def _closest_search(cs, eye, dir_cols, tmin=None, tmax=None):
@@ -984,14 +1025,14 @@ def _closest_search(cs, eye, dir_cols, tmin=None, tmax=None):
                          jnp.minimum(tcap, tmax_p * (1.0 + _ULP_PAD)))
         extra = (tmin_p, tmax_p)
     feats = _feats_from_cols(dp, w.shape[1], tcap=tcap, extra=extra)
-    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
-        lo, hi, dirs_tiled, alive, None, w)
+    S, hull, bbox, first, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, None, w, cs=cs)
     keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
                                         alive=alive)
     pidx, steps = _walk_pallas(
-        counts, keys, feats, w, hull=hull, bbox=bbox, tcap_col=4,
-        mode="closest", stream=_use_stream(w), interpret=_interpret(), S=S,
-        window=window)
+        counts, keys, feats, w, hull=hull, bbox=bbox, first=first,
+        tcap_col=4, mode="closest", stream=_use_stream(w),
+        interpret=_interpret(), S=S, window=window)
     steps = steps[0, 0]
     return pidx.reshape(-1)[:R], {"traversal_steps": steps,
                                   "mt_block_visits": steps}
@@ -1185,13 +1226,14 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     tcap = _ray_tcap(root_lo - shift, root_hi - shift, op, dp)
     feats = _feats_from_cols(dp + dxo + op, w.shape[1], tcap=tcap)
     occ0 = skip_p.astype(jnp.int32)
-    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
-        lo, hi, dirs_tiled, alive, orig_tiled, w)
+    S, hull, bbox, first, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, orig_tiled, w, cs=cs)
     keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
                                         orig_tiled, alive)
     occ, steps = _walk_pallas(
-        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, tcap_col=10,
-        mode="any", stream=_use_stream(w), interpret=_interpret(), S=S)
+        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, first=first,
+        tcap_col=10, mode="any", stream=_use_stream(w),
+        interpret=_interpret(), S=S)
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:
@@ -1251,13 +1293,14 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
     tcap = jnp.minimum(tcap, 1.0 + _ULP_PAD)
     feats = _feats_from_cols(dp, w.shape[1], tcap=tcap)
     occ0 = skip_p.astype(jnp.int32)
-    S, hull, bbox, cull_lo, cull_hi, w = _hier_setup(
-        lo, hi, dirs_tiled, alive, None, w)
+    S, hull, bbox, first, cull_lo, cull_hi, w = _hier_setup(
+        lo, hi, dirs_tiled, alive, None, w, cs=cs)
     keys, counts = _tile_candidate_keys(cull_lo, cull_hi, dirs_tiled,
                                         alive=alive)
     occ, steps = _walk_pallas(
-        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, tcap_col=4,
-        mode="any_dest", stream=_use_stream(w), interpret=_interpret(), S=S)
+        counts, keys, feats, w, occ0, hull=hull, bbox=bbox, first=first,
+        tcap_col=4, mode="any_dest", stream=_use_stream(w),
+        interpret=_interpret(), S=S)
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
     if with_counts:

@@ -74,3 +74,56 @@ def test_small_soup_falls_back(rng):
     cs = cl.build_clusters_treelet(soup, 64)  # T <= C: fixed-run path
     _check_clusterset(cs, soup)
     assert cs.num_clusters == 1
+
+
+def test_super_cut_partition(bunny):
+    """Tree-derived supers (two-level walk upper level): super_first must
+    be a non-decreasing partition of the real fine clusters into runs of
+    at most super_S members, each fine cluster in exactly one super."""
+    verts, faces = bunny
+    soup = triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                         with_normals=False)
+    cs = cl.build_clusters_treelet(soup)
+    assert cs.super_first is not None and cs.super_S > 1
+    first = np.asarray(cs.super_first)
+    n_c = cs.num_clusters
+    S = cs.super_S
+    # Number of real (non-empty) fine clusters.
+    lo, hi = np.asarray(cs.lo), np.asarray(cs.hi)
+    real = (hi >= lo).all(axis=1)
+    n_t = int(real.sum())
+    # Real fine ids are the first n_t (scatter order of the cut).
+    assert real[:n_t].all() and not real[n_t:].any()
+    assert (np.diff(first) >= 0).all()
+    assert first[0] == 0
+    ends = np.append(first[1:], n_c)
+    runs = np.minimum(ends, n_t) - np.minimum(first, n_t)
+    assert (runs >= 0).all() and (runs <= S).all()
+    assert runs.sum() == n_t          # every real cluster covered once
+
+
+def test_super_boxes_tighter_than_consecutive_runs(bunny):
+    """The tree-derived super level must not be looser than uniform
+    S-runs of consecutive blocks (the r4 fallback): compare total union
+    half-area at the same S."""
+    verts, faces = bunny
+    soup = triangle_soup(jnp.asarray(verts), jnp.asarray(faces),
+                         with_normals=False)
+    cs = cl.build_clusters_treelet(soup)
+    from ceres_tpu.ops import megakernel as mk
+
+    S = cs.super_S
+    n_c = cs.num_clusters
+    uniform = jnp.minimum(
+        jnp.arange(-(-n_c // S), dtype=jnp.int32) * S, n_c)
+    lo_t, hi_t, _ = mk._super_members(cs.lo, cs.hi, cs.super_first, S)
+    lo_u, hi_u, _ = mk._super_members(cs.lo, cs.hi, uniform, S)
+
+    def area(lo, hi):
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        ok = (hi >= lo).all(axis=1)
+        d = (hi - lo)[ok]
+        return float((d[:, 0] * (d[:, 1] + d[:, 2])
+                      + d[:, 1] * d[:, 2]).sum())
+
+    assert area(lo_t, hi_t) < area(lo_u, hi_u)
