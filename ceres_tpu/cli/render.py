@@ -64,12 +64,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend the search runs the f32 TPU datapath and "
                         "all values are recomputed in f64 at the winners; "
                         "use --backend bruteforce for the all-f64 oracle")
+    p.add_argument("--d-exact", action="store_true",
+                   help="implies -d; the megakernel search itself also "
+                        "runs in float64 (the plain-JAX f64 cluster walk) "
+                        "— the reference's Scalar=double semantics with "
+                        "no f32 anywhere, for scenes beyond f32 "
+                        "resolution. Slower than the accelerated -d")
     return p
 
 
 def run(args) -> int:
     import numpy as np
 
+    if args.d_exact:
+        args.double = True
     if args.double:
         import jax
 
@@ -95,6 +103,7 @@ def run(args) -> int:
             rotate_vertices_about_axis(vertices, axis, float(args.rotate[1])))
 
     scalar = np.float64 if args.double else np.float32
+    extra_cfg = {"f64_exact": True} if args.d_exact else {}
     vertices = np.asarray(vertices, scalar)
     eye = np.asarray(args.eye, scalar)
     direction = (np.asarray(args.direction, scalar)
@@ -127,7 +136,7 @@ def run(args) -> int:
         image, stats = render(
             vertices, faces, camera, sun, width=args.width,
             height=args.height, mode=args.mode, backend=args.backend,
-            shadows=not args.no_shadows, spheres=spheres)
+            shadows=not args.no_shadows, spheres=spheres, **extra_cfg)
     image = np.asarray(image)
     dt = time.perf_counter() - t1
 

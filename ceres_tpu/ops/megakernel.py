@@ -1106,7 +1106,8 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
 
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
                               with_counts=False, payload=None,
-                              tmin=None, tmax=None, normal_cols=False):
+                              tmin=None, tmax=None, normal_cols=False,
+                              exact_f64=False):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
     ``dirs`` is (R, 3) or a 3-tuple of (R,) columns (the fast form — all
@@ -1141,8 +1142,20 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     if cs is None:
         cs = cl.build_clusters_treelet(
             jax.tree.map(jax.lax.stop_gradient, soup))
-    pidx, counts = _closest_search(cs, eye, dir_cols, tmin=tmin,
-                                   tmax=tmax)
+    if exact_f64:
+        # ALL-f64 traversal (the reference's Scalar=double searched in
+        # double everywhere): the plain-JAX cluster walk instead of the
+        # f32 Pallas datapath. Same structure, same recompute epilogue.
+        if jnp.asarray(soup.p0).dtype != jnp.float64:
+            raise ValueError("exact_f64 requires a float64 soup "
+                             "(enable jax_enable_x64)")
+        from ceres_tpu.ops import walk_f64
+
+        pidx, counts = walk_f64.closest_search_f64(
+            cs, jnp.asarray(eye), dir_cols, tmin=tmin, tmax=tmax)
+    else:
+        pidx, counts = _closest_search(cs, eye, dir_cols, tmin=tmin,
+                                       tmax=tmax)
     mask = pidx >= 0
     cols = _winner_table_cols(soup, cs, payload)
     table = jnp.stack(cols, axis=-1)
@@ -1183,7 +1196,7 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
 
 
 def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
-            clusters=None, with_counts=False):
+            clusters=None, with_counts=False, exact_f64=False):
     """Occlusion test: True where a ray (origins[i], dirs[i]) hits anything.
 
     ``origins``/``dirs`` are (R, 3) or 3-tuples of (R,) columns.
@@ -1195,6 +1208,20 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
     ``with_counts=True`` additionally returns the measured traversal
     counters.
     """
+    if exact_f64:
+        from ceres_tpu.ops import walk_f64
+
+        cs64 = clusters if clusters is not None else \
+            cl.build_clusters_treelet(
+                jax.tree.map(jax.lax.stop_gradient, soup))
+        result, cnts = walk_f64.any_hit_f64(
+            cs64, jnp.asarray(origin_shift), _cols(origins), _cols(dirs),
+            skip=skip)
+        if with_counts:
+            cnts["mt_pairs"] = (cnts["mt_block_visits"]
+                                * TILE * cs64.cluster_size)
+            return result, cnts
+        return result
     soup, shift, o_cols, d_cols = _detach_f32(
         (soup, origin_shift, _cols(origins), _cols(dirs)))
     R = d_cols[0].shape[0]
@@ -1244,7 +1271,7 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
 
 
 def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
-                     clusters=None, with_counts=False):
+                     clusters=None, with_counts=False, exact_f64=False):
     """Occlusion between each ``points[i]`` and the common point ``dest``.
 
     THE shadow-ray fast path: every shadow ray of a frame aims at the one
@@ -1266,6 +1293,19 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
     rays whose answer is irrelevant. Boolean, intentionally
     non-differentiable (detached visibility).
     """
+    if exact_f64:
+        from ceres_tpu.ops import walk_f64
+
+        cs64 = clusters if clusters is not None else \
+            cl.build_clusters_treelet(
+                jax.tree.map(jax.lax.stop_gradient, soup))
+        result, cnts = walk_f64.any_hit_to_point_f64(
+            cs64, jnp.asarray(dest), _cols(points), skip=skip)
+        if with_counts:
+            cnts["mt_pairs"] = (cnts["mt_block_visits"]
+                                * TILE * cs64.cluster_size)
+            return result, cnts
+        return result
     soup, dest, p_cols = _detach_f32((soup, dest, _cols(points)))
     R = p_cols[0].shape[0]
     if clusters is None:

@@ -67,6 +67,14 @@ class RenderConfig:
     # (tests/test_reference_compat.py checks it against a PPM rendered by
     # the actual C++ reference).
     reference_compat: bool = False
+    # ALL-f64 traversal on the megakernel backend (requires float64
+    # inputs + jax_enable_x64): winner/occlusion search runs the
+    # plain-JAX f64 cluster walk (ceres_tpu.ops.walk_f64) instead of the
+    # accelerated f32 Pallas datapath — the reference's Scalar=double
+    # semantics with no f32 anywhere in the search. Slower (f64 has no
+    # MXU); for scenes where f32 search resolution is insufficient
+    # (coordinate spans > 2^24, sheets closer than f32 ulp).
+    f64_exact: bool = False
 
 
 def _normalize(v):
@@ -156,7 +164,8 @@ def render_wavefront_cols(
             payload += [arr[:, a] for a in range(3)]
     res = megakernel.closest_hit_common_origin(
         soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
-        with_counts=want_counts, normal_cols=True)
+        with_counts=want_counts, normal_cols=True,
+        exact_f64=config.f64_exact)
     (hit, pay), counts1 = (res[:2], res[2]) if want_counts else (res, None)
     mask = hit.mask
     n = (pay[0], pay[1], pay[2])
@@ -233,7 +242,8 @@ def render_wavefront_cols(
             # occluders BEYOND the sun darken too. Generic-ray form.
             res2 = megakernel.any_hit(
                 soup, _scene_center(soup), point, sun_line, skip=~mask,
-                clusters=clusters, with_counts=want_counts)
+                clusters=clusters, with_counts=want_counts,
+                exact_f64=config.f64_exact)
         else:
             # Physically-correct segment test, and the fast path: all
             # shadow rays share the sun, so they run as a common-origin
@@ -249,7 +259,8 @@ def render_wavefront_cols(
             # bounded to mixed silhouette tiles.
             res2 = megakernel.any_hit_to_point(
                 soup, sun_position, point, skip=~mask,
-                clusters=clusters, with_counts=want_counts)
+                clusters=clusters, with_counts=want_counts,
+                exact_f64=config.f64_exact)
         occluded, counts2 = res2 if want_counts else (res2, None)
         if spheres is not None:
             # Spheres occlude too (both triangle- and sphere-hit points).
