@@ -48,7 +48,64 @@ def _run_cpu_mesh(width=480, height=270, reps=3):
              if ln.startswith("{")]
     rates = {l["devices"]: l["value"] for l in lines
              if l.get("metric") == "rays_per_sec"}
-    return rates, out.returncode
+    rays = next((l.get("rays_per_frame") for l in lines
+                 if l.get("metric") == "rays_per_sec"), None)
+    return rates, rays, out.returncode
+
+
+def _run_contention_control(n=8, width=480, height=270, reps=3):
+    """N independent 1-device processes rendering 1/N-height shards,
+    CONCURRENTLY (file barrier): the contention-matched ideal throughput
+    for the N-virtual-device mesh. Aggregate rate = one full frame's
+    rays / the slowest worker's per-frame time — what N meshless workers
+    achieve under the same core contention, so mesh_rate / this rate
+    isolates shard_map overhead from contention."""
+    import tempfile
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    with tempfile.TemporaryDirectory() as syncdir:
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(ROOT, "benchmarks", "contention_worker.py"),
+                 str(i), str(n), str(width), str(height), str(reps),
+                 syncdir],
+                env=env)
+            for i in range(n)
+        ]
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            ready = sum(os.path.exists(os.path.join(syncdir, f"ready_{i}"))
+                        for i in range(n))
+            if ready == n:
+                break
+            if any(p.poll() not in (None, 0) for p in procs):
+                for p in procs:
+                    p.kill()
+                return None
+            time.sleep(0.05)
+        open(os.path.join(syncdir, "go"), "w").close()
+        rc = 0
+        for p in procs:
+            rc |= p.wait()
+        if rc:
+            return None
+        secs = []
+        for i in range(n):
+            with open(os.path.join(syncdir, f"result_{i}.json")) as fh:
+                secs.append(json.load(fh)["seconds"] / reps)
+        # Rays counted as the mesh harness does: pixels + primary hits of
+        # the full frame (identical scene/camera); the slowest worker
+        # bounds the frame like the mesh's slowest shard does.
+        from ceres_tpu.render.scenes import bunny_path  # noqa: F401
+        return {"n_processes": n, "per_frame_s_per_worker":
+                [round(s, 4) for s in secs],
+                "frame_s": round(max(secs), 4)}
 
 
 def _run_distributed(width=320, height=180, reps=2):
@@ -138,7 +195,7 @@ def main() -> int:
             result = json.load(fh)
         result["host_cores"] = os.cpu_count()
 
-    rates, rc = _run_cpu_mesh()
+    rates, rays, rc = _run_cpu_mesh()
     base = rates.get(1)
     r8 = rates.get(8)
     result["virtual_cpu_mesh"] = {
@@ -147,8 +204,26 @@ def main() -> int:
             round(r8 / base, 4) if base and r8 else None,
         "note": ("8 virtual devices share this host's "
                  f"{os.cpu_count()} cores: ideal is rate_8 == rate_1 "
-                 "(partitioning free), NOT 8x"),
+                 "(partitioning free), NOT 8x; rate_8/rate_1 conflates "
+                 "shard_map overhead with core contention — "
+                 "mesh_vs_control is the deconfounded number"),
     }
+
+    # Contention-normalized control: 8 independent 1-device processes
+    # rendering 1/8-height shards CONCURRENTLY — the ideal-throughput
+    # denominator under identical core contention (VERDICT r4 item 8).
+    ctl = _run_contention_control()
+    if ctl is not None and r8 and rays:
+        ctl_rate = rays / ctl["frame_s"]
+        ctl["rays_per_sec"] = round(ctl_rate, 1)
+        ctl["mesh_vs_control_efficiency"] = round(r8 / ctl_rate, 4)
+        ctl["note"] = (
+            "8 meshless single-device processes, file-barrier "
+            "synchronized so the timed frames overlap; frame time = "
+            "slowest worker (the mesh is bounded by its slowest shard "
+            "the same way). mesh_vs_control = mesh rate_8 / this rate: "
+            "shard_map overhead with contention factored out.")
+    result["contention_control"] = ctl
 
     dist, rc2 = _run_distributed()
     result["distributed_2proc"] = dist

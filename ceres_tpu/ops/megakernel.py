@@ -109,7 +109,7 @@ _RESIDENT_W_BYTES = 8 << 20
 # exceeds the 1 MB budget at 16384 blocks (a 1.27M-triangle scene fails
 # to compile flat; the two-level walk renders it). The threshold sits
 # just under that wall with margin for the counts/hull windows.
-_HIER_MIN_CLUSTERS = 12288
+_HIER_MIN_CLUSTERS = int(os.environ.get("CERES_HIER_MIN", 12288))
 _SUPER_TARGET = 1024
 _SUPER_MAX = 32   # gate bitmask lives in one int32
 
@@ -470,12 +470,16 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     if hier:
                         # Super fetch: S consecutive fine blocks from
                         # the super's first member (tree-derived supers
-                        # are contiguous runs of fine ids).
+                        # are contiguous runs of fine ids) into the
+                        # k-parity half of the FLAT (2 * S, ...) buffer
+                        # (one dynamic index per member read).
                         fs = first_ref[0, cid]
                         src = w_ref.at[pl.ds(fs, S)]
+                        dst = wbuf.at[pl.ds((k % 2) * S, S)]
                     else:
                         src = w_ref.at[cid]
-                    return pltpu.make_async_copy(src, wbuf.at[k % 2],
+                        dst = wbuf.at[k % 2]
+                    return pltpu.make_async_copy(src, dst,
                                                  sem.at[k % 2])
 
                 def start_fetch(k):
@@ -532,11 +536,7 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     return jax.lax.bitcast_convert_type(
                         jnp.where(okb, tn, _BIG), jnp.int32)   # (1, S)
 
-                def block_entry_at(ent_i, s):
-                    """Scalar int entry of block ``s`` (masked min-reduce
-                    — Mosaic has no vector-lane scalar extraction)."""
-                    return jnp.min(jnp.where(bitlane == s, ent_i,
-                                             jnp.int32(0x7FFFFFFF)))
+                _IMAX = jnp.int32(0x7FFFFFFF)
 
             def cond(state):
                 k, prune_i = state[0], state[1]
@@ -596,12 +596,18 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     ok = (m >= 0) & (nd != 0)  # t >= 0 (nt*s >= 0)
                 return ok, nd, nt
 
+            def fetch_wait(k):
+                """Stream bookkeeping only: prefetch k+1, wait for k.
+                Hier bodies then index the wbuf REF per member block
+                (wbuf[k % 2, s] — s is a traced lane id)."""
+                @pl.when(k + 1 < count)
+                def _():
+                    start_fetch(k + 1)
+                wait_fetch(k)
+
             def fetch_weights(k):
                 if stream:
-                    @pl.when(k + 1 < count)
-                    def _():
-                        start_fetch(k + 1)
-                    wait_fetch(k)
+                    fetch_wait(k)
                     return wbuf[k % 2]
                 return w_ref[key_ref[0, g, k] & cmask]
 
@@ -634,26 +640,39 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     k, prune_i, occ, nvis = state
                     sid = key_ref[0, g, k] & cmask
                     fs = first_ref[0, sid]
-                    wsup = fetch_weights(k) if stream else None
+                    if stream:
+                        fetch_wait(k)
                     ent_i = block_entries(sid)
-                    # (occ, nvis, prune): the prune refreshes after every
-                    # gated visit so later blocks of the same super see
-                    # occlusions found by earlier ones.
-                    st = (occ, nvis, prune_i)
-                    for s in range(S):
-                        def visit(stv, s=s):
-                            occ_, nv_, _ = stv
-                            wj = wsup[s] if stream else w_ref[fs + s]
-                            ok, _, _ = mt_accept(wj)
-                            occ_ = occ_ | jnp.max(
-                                jnp.where(ok, jnp.int32(1), jnp.int32(0)),
-                                axis=1, keepdims=True)
-                            pr_ = (jnp.max(jnp.where(occ_ > 0, _NEG_I,
-                                                     tcap_i)) + _PRUNE_PAD)
-                            return occ_, nv_ + 1, pr_
-                        st = jax.lax.cond(block_entry_at(ent_i, s) <= st[2],
-                                          visit, lambda stv: stv, st)
-                    occ, nvis, prune_i = st
+
+                    # In-super PRIORITY walk (see the closest-mode body).
+                    def in_cond(st2):
+                        rem = st2[0]   # int32 bitmask of unvisited slots
+                        live = ((rem >> bitlane) & 1) == 1
+                        return jnp.min(jnp.where(live, ent_i, _IMAX)) \
+                            <= st2[3]
+
+                    def in_body(st2):
+                        rem, occ_, nv_, _ = st2
+                        live = ((rem >> bitlane) & 1) == 1
+                        masked = jnp.where(live, ent_i, _IMAX)
+                        m = jnp.min(masked)
+                        s = jnp.min(jnp.where(masked == m, bitlane, _IMAX))
+                        rem = rem & ~(jnp.int32(1) << s)
+                        wj = wbuf[(k % 2) * S + s] if stream \
+                            else w_ref[fs + s]
+                        ok, _, _ = mt_accept(wj)
+                        occ_ = occ_ | jnp.max(
+                            jnp.where(ok, jnp.int32(1), jnp.int32(0)),
+                            axis=1, keepdims=True)
+                        pr_ = (jnp.max(jnp.where(occ_ > 0, _NEG_I,
+                                                 tcap_i)) + _PRUNE_PAD)
+                        return rem, occ_, nv_ + 1, pr_
+
+                    rem0 = (jnp.int32(-1) if S == 32
+                            else jnp.int32((1 << S) - 1))
+                    _, occ, nvis, prune_i = jax.lax.while_loop(
+                        in_cond, in_body,
+                        (rem0, occ, nvis, prune_i))
                     return k + 1, prune_i, occ, nvis
 
                 occ0 = occ0_ref[g * R:(g + 1) * R].reshape(R, 1)
@@ -687,27 +706,45 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                     k, prune_i, t_i, pid, nvis = state
                     sid = key_ref[0, g, k] & cmask
                     fs = first_ref[0, sid]
-                    wsup = fetch_weights(k) if stream else None
+                    if stream:
+                        fetch_wait(k)
                     ent_i = block_entries(sid)
-                    # The prune refreshes after every gated visit so later
-                    # blocks of the same super are pruned by hits found in
-                    # earlier ones — without this, a super's whole
-                    # hull-passing membership runs with the stale pre-super
-                    # prune (measured 2x slower than the flat walk on
-                    # dragon 1080p: executed visits degenerate to the
-                    # scheduled count).
-                    st = (t_i, pid, nvis, prune_i)
-                    for s in range(S):
-                        def visit(stv, s=s):
-                            t_, pid_, nv_, _ = stv
-                            wj = wsup[s] if stream else w_ref[fs + s]
-                            t_, pid_ = winner_update(wj, fs + s, t_,
-                                                     pid_)
-                            pr_ = jnp.max(jnp.minimum(t_, tcap_i)) + _PRUNE_PAD
-                            return t_, pid_, nv_ + 1, pr_
-                        st = jax.lax.cond(block_entry_at(ent_i, s) <= st[3],
-                                          visit, lambda stv: stv, st)
-                    t_i, pid, nvis, prune_i = st
+
+                    # In-super PRIORITY walk: iteratively extract the
+                    # remaining member with the SMALLEST entry bound and
+                    # visit it only while that minimum is under the live
+                    # prune. Replaces the S sequential lax.cond gates
+                    # (which cost a masked reduce + branch PER SLOT even
+                    # when every member is culled — measured ~40% of the
+                    # 1.27M-tri frame) with ~2 lane reduces per EXECUTED
+                    # visit, and visits members front-to-back, so the
+                    # prune (refreshed after every visit) converges
+                    # faster than slot order.
+                    def in_cond(st2):
+                        rem = st2[0]   # int32 bitmask of unvisited slots
+                        live = ((rem >> bitlane) & 1) == 1
+                        return jnp.min(jnp.where(live, ent_i, _IMAX)) \
+                            <= st2[4]
+
+                    def in_body(st2):
+                        rem, t_, pid_, nv_, _ = st2
+                        live = ((rem >> bitlane) & 1) == 1
+                        masked = jnp.where(live, ent_i, _IMAX)
+                        m = jnp.min(masked)
+                        s = jnp.min(jnp.where(masked == m, bitlane, _IMAX))
+                        rem = rem & ~(jnp.int32(1) << s)
+                        wj = wbuf[(k % 2) * S + s] if stream \
+                            else w_ref[fs + s]
+                        t_, pid_ = winner_update(wj, fs + s, t_, pid_)
+                        pr_ = (jnp.max(jnp.minimum(t_, tcap_i))
+                               + _PRUNE_PAD)
+                        return rem, t_, pid_, nv_ + 1, pr_
+
+                    rem0 = (jnp.int32(-1) if S == 32
+                            else jnp.int32((1 << S) - 1))
+                    _, t_i, pid, nvis, prune_i = jax.lax.while_loop(
+                        in_cond, in_body,
+                        (rem0, t_i, pid, nvis, prune_i))
                     return k + 1, prune_i, t_i, pid, nvis
 
                 t0 = jnp.full((R, 1), _BIG_CLEAN_I, jnp.int32)
@@ -825,7 +862,7 @@ def _walk_pallas(counts, keys, feats, w, occ0=None, hull=None, bbox=None,
                                      lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     args.append(w)
-    wbuf_shape = (2, S, Kp, C4) if S > 1 else (2, Kp, C4)
+    wbuf_shape = (2 * S, Kp, C4) if S > 1 else (2, Kp, C4)
     out, steps = pl.pallas_call(
         _make_walk_kernel(C4 // 4, n_c, R, G, tcap_col, mode,
                           stream, S, window),
