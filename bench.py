@@ -65,14 +65,21 @@ def main():
     from ceres_tpu.accel.clusters import build_clusters_treelet
     from ceres_tpu.models.mesh import triangle_soup
 
+    from ceres_tpu.render.renderer import prepare_winner_table
+
     @functools.partial(jax.jit, static_argnames="k")
     def render_k(v, k):
+        # Structure AND winner table hoisted out of the frame loop (the
+        # reference's pre-loop build, anim.cpp:62-66; XLA does not hoist
+        # either on its own).
+        soup = triangle_soup(v, fj, with_normals=True)
         clusters = build_clusters_treelet(
             triangle_soup(v, fj, with_normals=False))
+        table = prepare_winner_table(soup, clusters, config)
 
         def body(i, acc):
             image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3, config,
-                                       clusters=clusters)
+                                       clusters=clusters, table_cols=table)
             return acc + image.sum()
         return jax.lax.fori_loop(0, k, body, 0.0)
 

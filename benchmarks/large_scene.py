@@ -55,20 +55,22 @@ def main():
     fj = jnp.asarray(faces)
 
     from ceres_tpu.accel.clusters import build_clusters_treelet
+    from ceres_tpu.render.renderer import prepare_winner_table
 
     def prepare(v):
+        soup = triangle_soup(v, fj, with_normals=True)
         cs = build_clusters_treelet(triangle_soup(v, fj, with_normals=False))
         if SUPERS == "uniform":
             cs = dataclasses.replace(cs, super_first=None, super_S=0)
-        return cs
+        return cs, prepare_winner_table(soup, cs, cfg)
 
     @functools.partial(jax.jit, static_argnames="k")
     def run(v, k):
-        clusters = prepare(v)
+        clusters, table = prepare(v)
 
         def body(i, acc):
             img, _ = render_pipeline(v, fj, cam, sun + i * 1e-3, cfg,
-                                     clusters=clusters)
+                                     clusters=clusters, table_cols=table)
             return acc + img.sum()
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
@@ -92,9 +94,9 @@ def main():
 
     @jax.jit
     def one_frame_stats(v):
-        clusters = prepare(v)
+        clusters, table = prepare(v)
         _, stats = render_pipeline(v, fj, cam, sun, cfg_stats,
-                                   clusters=clusters)
+                                   clusters=clusters, table_cols=table)
         return stats
 
     stats = {k: int(v) for k, v in one_frame_stats(vj).items()}

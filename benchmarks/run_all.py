@@ -91,16 +91,22 @@ def main() -> int:
     def frame_body(faces, cam, cfg):
         from ceres_tpu.accel.clusters import build_clusters_treelet
         from ceres_tpu.models.mesh import triangle_soup
+        from ceres_tpu.render.renderer import prepare_winner_table
 
         fj = jnp.asarray(faces)
 
         def prepare(v):
-            return build_clusters_treelet(
+            # Clusters AND winner table hoisted (reference pre-loop
+            # build, anim.cpp:62-66; XLA hoists neither on its own).
+            soup = triangle_soup(v, fj, with_normals=cfg.mode == "smooth")
+            cs = build_clusters_treelet(
                 triangle_soup(v, fj, with_normals=False))
+            return cs, prepare_winner_table(soup, cs, cfg)
 
-        def body(v, i, clusters):
+        def body(v, i, aux):
+            clusters, table = aux
             img, _ = render_pipeline(v, fj, cam, sun + i * 1e-3, cfg,
-                                     clusters=clusters)
+                                     clusters=clusters, table_cols=table)
             return img.sum()
         return body, prepare
 
@@ -141,7 +147,7 @@ def main() -> int:
     # the frame loop; recorded so the hoisting is auditable).
     @functools.partial(jax.jit)
     def build_only(v):
-        cs = prep3(v)
+        cs, _ = prep3(v)
         return cs.lo.sum() + cs.p0[0, 0, 0]
 
     float(build_only(jnp.asarray(dragon_v)))

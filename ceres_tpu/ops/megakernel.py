@@ -110,6 +110,10 @@ _RESIDENT_W_BYTES = 8 << 20
 # to compile flat; the two-level walk renders it). The threshold sits
 # just under that wall with margin for the counts/hull windows.
 _HIER_MIN_CLUSTERS = int(os.environ.get("CERES_HIER_MIN", 12288))
+# Shadow-wavefront receiver regrouping (see any_hit_to_point):
+# "auto" = on for scenes past the two-level threshold, "1"/"0" force.
+_SHADOW_REGROUP = os.environ.get("CERES_SHADOW_REGROUP", "0")
+_REGROUP_TILE = int(os.environ.get("CERES_REGROUP_TILE", 128))
 _SUPER_TARGET = 1024
 _SUPER_MAX = 32   # gate bitmask lives in one int32
 
@@ -612,15 +616,24 @@ def _make_walk_kernel(c_size: int, n_c: int, R: int, G: int,
                 return w_ref[key_ref[0, g, k] & cmask]
 
             def winner_update(wj, bid, t_i, pid):
-                """MT accept + per-visit winner selection for one block."""
+                """MT accept + per-visit winner selection for one block.
+
+                Measured DEAD END (round 5): wrapping the selection
+                epilogue in lax.cond on a scalar any-accept reduce
+                (skipping ~5 of 13 (R, C)-shaped VPU ops on no-accept
+                visits) cost 8% on bunny 1080p (65.0 -> 60.2 Mrays/s)
+                and 7% on the 1.27M-tri scene (602 -> 647 ms) — the
+                reduce + branch outweigh the skipped work at these
+                accept rates. Keep the epilogue unconditional.
+                """
                 ok, nd, nt = mt_accept(wj)
                 # EXACT reciprocal: an approx=True variant saved no
                 # measurable time (the divide is not the bottleneck) and
-                # its ~2^-16 error forced a prune pad so wide the extra
-                # boundary visits cost 17% of the frame. t only feeds
-                # winner SELECTION (t/u/v are recomputed at the winners
-                # in plain JAX); nd == 0 lanes produce inf/NaN which ok
-                # (requiring nd != 0) masks to _BIG_CLEAN.
+                # its ~2^-16 error forced a prune pad so wide the
+                # extra boundary visits cost 17% of the frame. t only
+                # feeds winner SELECTION (t/u/v are recomputed at the
+                # winners in plain JAX); nd == 0 lanes produce inf/NaN
+                # which ok (requiring nd != 0) masks to _BIG_CLEAN.
                 tpair = jnp.where(ok, nt * pl.reciprocal(nd, approx=False),
                                   _BIG_CLEAN)
                 if window:
@@ -1141,10 +1154,28 @@ def _winner_table_cols(soup: TriangleSoup, cs, payload_cols):
     return cols
 
 
+def winner_table(soup: TriangleSoup, clusters, payload=None):
+    """Precompute the STACKED winner table for a static-geometry loop.
+
+    The table depends only on (soup, clusters, payload) — loop-invariant
+    across frames of static geometry. Measured: XLA already hoists the
+    construction inside jitted fori_loop frame loops (1.27M-tri frame
+    603 vs 602 ms with/without), so this helps EAGER per-frame callers
+    and makes the hoist explicit; the ~100 ms/frame epilogue at that
+    scale is the per-ray random row gather over the scene-sized table
+    (megakernel._closest_search vs closest_hit_common_origin probe,
+    benchmarks/epilogue_probe.py), which precomputation cannot remove.
+    Pass back via ``closest_hit_common_origin(..., table_cols=...)``;
+    the payload must be the same sequence that call would receive.
+    Differentiable w.r.t. ``soup`` exactly like the inline build.
+    """
+    return jnp.stack(_winner_table_cols(soup, clusters, payload), axis=-1)
+
+
 def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
                               with_counts=False, payload=None,
                               tmin=None, tmax=None, normal_cols=False,
-                              exact_f64=False):
+                              exact_f64=False, table_cols=None):
     """Closest hit of normalized ``dirs`` rays all starting at ``eye``.
 
     ``dirs`` is (R, 3) or a 3-tuple of (R,) columns (the fast form — all
@@ -1194,8 +1225,10 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
         pidx, counts = _closest_search(cs, eye, dir_cols, tmin=tmin,
                                        tmax=tmax)
     mask = pidx >= 0
-    cols = _winner_table_cols(soup, cs, payload)
-    table = jnp.stack(cols, axis=-1)
+    table = (table_cols if table_cols is not None
+             else jnp.stack(_winner_table_cols(soup, cs, payload),
+                            axis=-1))
+    n_cols = table.shape[-1]
     idx = jnp.clip(pidx, 0)
     # ONE row gather (the TPU fast path; per-column 1-D gathers lower to
     # scalar loops, measured >10x slower), then an identity matmul to
@@ -1207,7 +1240,7 @@ def closest_hit_common_origin(soup: TriangleSoup, eye, dirs, clusters=None,
     # the padded buffer is read once and the 13+P consumers each read an
     # 8 MB dense column. Exact (identity rows at HIGHEST precision) and
     # linear, so gradients pass through untouched.
-    recT = jnp.matmul(jnp.eye(len(cols), dtype=table.dtype),
+    recT = jnp.matmul(jnp.eye(n_cols, dtype=table.dtype),
                       jnp.transpose(table[idx]),
                       precision=jax.lax.Precision.HIGHEST)
     rec = tuple(recT)
@@ -1308,7 +1341,8 @@ def any_hit(soup: TriangleSoup, origin_shift, origins, dirs, skip=None,
 
 
 def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
-                     clusters=None, with_counts=False, exact_f64=False):
+                     clusters=None, with_counts=False, exact_f64=False,
+                     regroup=None):
     """Occlusion between each ``points[i]`` and the common point ``dest``.
 
     THE shadow-ray fast path: every shadow ray of a frame aims at the one
@@ -1355,11 +1389,56 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
     root_lo, root_hi = _scene_root(cs)
     if skip is None:
         skip = jnp.zeros((R,), bool)
+    if regroup is None:
+        # Screen tiles that straddle a DEPTH discontinuity mix receivers
+        # from distant surfaces, so their world-space hulls sweep fat
+        # tubes from the light (measured: candidate count correlates
+        # 0.65 with per-tile receiver depth spread on the 1.27M-tri
+        # scene; discontinuous tiles schedule 5x the supers). Re-tiling
+        # the wavefront by receiver-POSITION morton code makes every
+        # tile a compact surface patch and groups skip rays into dead
+        # all-skip tiles. Measured NEGATIVE on the 1.27M-tri scene,
+        # twice, for two different reasons: at the full 512-ray tile the
+        # regrouped tiles are DENSE (screen tiles were ~20% alive), so
+        # patches grow 5x and visits RISE (816 vs 602 ms/frame); at
+        # 128-ray tiles the lane-work halves (67M -> 33M lane-visits)
+        # but the walk goes DMA-bound — the 512 KB super fetch is per
+        # SUPER VISIT, independent of tile width, so 4x the tiles means
+        # 4x the stream traffic (613 ms: the prepass win refunded).
+        # Default OFF; CERES_SHADOW_REGROUP=1 or regroup=True re-enable
+        # (e.g. for VMEM-resident scenes where no DMA is involved).
+        regroup = (_SHADOW_REGROUP == "1"
+                   or (_SHADOW_REGROUP == "auto"
+                       and cs.num_clusters > _HIER_MIN_CLUSTERS))
+    perm = None
+    if regroup:
+        from ceres_tpu.accel import morton
+
+        code = morton.morton_codes(jnp.stack(p_cols, axis=-1),
+                                   root_lo, root_hi)
+        code = jnp.where(skip, jnp.int32(0x7FFFFFFF), code)
+        perm = jnp.argsort(code).astype(jnp.int32)
+        # ONE row gather + identity matmul for dense columns (the winner
+        # gather pattern; per-column 1-D gathers lower to scalar loops).
+        table = jnp.stack([p_cols[0], p_cols[1], p_cols[2],
+                           skip.astype(jnp.float32)], axis=-1)
+        recT = jnp.matmul(jnp.eye(4, dtype=table.dtype),
+                          jnp.transpose(table[perm]),
+                          precision=jax.lax.Precision.HIGHEST)
+        p_cols = (recT[0], recT[1], recT[2])
+        skip = recT[3] > 0.5
+    # Regrouped tiles are DENSE (every lane alive — skips pack into dead
+    # tail tiles), so a full-TILE patch covers ~5x the surface of the
+    # sparsely-alive screen tiles it replaces and its hull schedules
+    # more, not less (measured 816 vs 602 ms/frame at 1.27M tris).
+    # Shrink the tile so a regrouped patch matches the alive-lane count
+    # the screen tiling had.
+    tile = _REGROUP_TILE if perm is not None else TILE
     d = tuple(p_cols[a] - dest[a] for a in range(3))    # t=1 at the point
-    dp = tuple(_pad_rays(c) for c in d)
-    dirs_tiled = tuple(c.reshape(-1, TILE) for c in dp)
-    skip_p = _pad_rays(skip)
-    alive = ~skip_p.reshape(-1, TILE)
+    dp = tuple(_pad_rays(c, tile) for c in d)
+    dirs_tiled = tuple(c.reshape(-1, tile) for c in dp)
+    skip_p = _pad_rays(skip, tile)
+    alive = ~skip_p.reshape(-1, tile)
     alive = alive & ((dirs_tiled[0] * dirs_tiled[0]
                       + dirs_tiled[1] * dirs_tiled[1]
                       + dirs_tiled[2] * dirs_tiled[2]) > 0.0)
@@ -1380,8 +1459,12 @@ def any_hit_to_point(soup: TriangleSoup, dest, points, skip=None,
         interpret=_interpret(), S=S)
     steps = steps[0, 0]
     result = (occ.reshape(-1)[:R] == 1) & ~skip
+    if perm is not None:
+        # Scatter back to the caller's ray order (one int column).
+        result = jnp.zeros((R,), jnp.int32).at[perm].set(
+            result.astype(jnp.int32)) == 1
     if with_counts:
         cnts = {"traversal_steps": steps, "mt_block_visits": steps,
-                "mt_pairs": steps * TILE * cs.cluster_size}
+                "mt_pairs": steps * tile * cs.cluster_size}
         return result, cnts
     return result

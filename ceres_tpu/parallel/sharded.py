@@ -67,7 +67,7 @@ def _as_spheres(spheres, dtype):
 
 
 def _render_rows(verts, faces, camera, sun, row0, h_local, config,
-                 soup=None, clusters=None, spheres=None):
+                 soup=None, clusters=None, spheres=None, table_cols=None):
     """Render ``h_local`` image rows starting at row0 (traced scalar)."""
     if soup is None:
         soup = triangle_soup(verts, faces,
@@ -82,7 +82,8 @@ def _render_rows(verts, faces, camera, sun, row0, h_local, config,
 
         dirs = tiling.swizzle(dirs_hw)
         color, stats = render_wavefront(soup, camera, sun, dirs, config,
-                                        clusters=clusters, spheres=spheres)
+                                        clusters=clusters, spheres=spheres,
+                                        table_cols=table_cols)
         color = tiling.unswizzle(color, h_local, config.width)
         stats["rays"] = stats["rays"] - (dirs.shape[0]
                                          - h_local * config.width)
@@ -210,11 +211,16 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
         soup = triangle_soup(verts, faces_,
                              with_normals=config.mode == "smooth")
         clusters = None
+        table = None
         if config.backend == "megakernel":
             from ceres_tpu.accel import clusters as cl
+            from ceres_tpu.render.renderer import prepare_winner_table
 
             clusters = cl.build_clusters_treelet(
                 jax.tree.map(jax.lax.stop_gradient, soup))
+            # The winner table is frame-invariant too (static geometry);
+            # XLA does not hoist it out of lax.map on its own.
+            table = prepare_winner_table(soup, clusters, config)
 
         def one_frame(tf):
             # Per-frame rigid transform applied to camera + sun (the
@@ -226,7 +232,7 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
             color, stats = _render_rows(verts, faces_, cam_f, sun_f,
                                         row0_shard[0], h_local, config,
                                         soup=soup, clusters=clusters,
-                                        spheres=sph)
+                                        spheres=sph, table_cols=table)
             return color, stats
 
         colors, stats = jax.lax.map(one_frame, tf_shard)

@@ -118,38 +118,18 @@ def _any_shadow(soup: TriangleSoup, origins, dirs, backend: str, skip=None,
     raise ValueError(f"unknown backend: {backend}")
 
 
-def render_wavefront_cols(
-    soup: TriangleSoup,
-    camera: Camera,
-    sun_position: jax.Array,
-    dir_cols,       # 3-tuple of (R,) normalized primary direction columns
-    config: RenderConfig,
-    clusters=None,  # prebuilt ClusterSet: skips the per-call structure
-                    # build (frame loops over static geometry). Fully
-                    # differentiable — the structure only drives the
-                    # detached winner search.
-    spheres=None,   # optional (centers (S, 3), radii (S,)): bvh::Sphere
-                    # primitives merged into the scene by closest t
-):
-    """Column-form wavefront render -> (3-tuple of (R,) colors, stats).
+def _payload_cols(soup: TriangleSoup, config: RenderConfig):
+    """The per-triangle shading payload columns for this config.
 
-    The megakernel fast path: all per-ray math is structure-of-arrays
-    ((R,) columns) — (R, 3) arrays put the 3-vector on the 128-lane axis
-    and waste 42x of the VPU (measured ~35 ms/frame of normalize/dot
-    fusions at 1080p). Everything shading needs per hit rides the single
-    winner row-gather as a payload (megakernel._winner_table).
+    Payload is a list of per-triangle COLUMNS (each (T,)): the winner
+    gather is per-column, keeping every gathered array dense — a packed
+    (T, P) payload row would be lane-padded P -> 128 by XLA and each
+    downstream column slice re-streams the whole padded gather output
+    (~21 ms/frame measured at 1080p). Returns (payload, n_pay) where
+    n_pay is the index of the first compat-vertex column in the
+    RETURNED winner payload (face normal x3 prepended by
+    normal_cols=True).
     """
-    from ceres_tpu.ops import megakernel
-
-    want_counts = config.traversal_stats
-    # Payload is a list of per-triangle COLUMNS (each (T,)): the winner
-    # gather is per-column, keeping every gathered array dense — a packed
-    # (T, P) payload row would be lane-padded P -> 128 by XLA and each
-    # downstream column slice re-streams the whole padded gather output
-    # (~21 ms/frame measured at 1080p). The face normal is NOT in the
-    # payload: normal_cols=True prepends it recomputed from the winner's
-    # edge columns (three fewer 8 MB gathers per frame), so the returned
-    # ``pay`` still reads [n x3, corners x9?, compat verts x9?].
     payload = []
     if config.mode == "smooth":
         if soup.corner_normals is None:
@@ -162,10 +142,64 @@ def render_wavefront_cols(
         # same winner gather as the shading payload.
         for arr in (soup.p0, soup.e1, soup.e2):
             payload += [arr[:, a] for a in range(3)]
+    return payload, n_pay
+
+
+def prepare_winner_table(soup: TriangleSoup, clusters,
+                         config: RenderConfig):
+    """Loop-invariant winner table for static-geometry frame loops.
+
+    Pair of the prebuilt ``clusters`` fast lane (the reference builds
+    its BVH before the frame loop, anim.cpp:62-66): the winner-gather
+    table scales with the scene (N_c * C rows). NOTE measured nuance:
+    inside a jitted fori_loop frame loop XLA already hoists the table
+    construction (1.27M-tri frame identical, 603 vs 602 ms, with and
+    without this), so the win is for EAGER per-frame callers and
+    explicitness; the remaining ~100 ms/frame of winner epilogue there
+    is the per-ray random row GATHER over the scene-sized table, which
+    no hoisting removes. Build once beside the clusters and pass to
+    render_pipeline/render_wavefront(..., table_cols=...).
+    """
+    from ceres_tpu.ops import megakernel
+
+    payload, _ = _payload_cols(soup, config)
+    return megakernel.winner_table(soup, clusters, payload)
+
+
+def render_wavefront_cols(
+    soup: TriangleSoup,
+    camera: Camera,
+    sun_position: jax.Array,
+    dir_cols,       # 3-tuple of (R,) normalized primary direction columns
+    config: RenderConfig,
+    clusters=None,  # prebuilt ClusterSet: skips the per-call structure
+                    # build (frame loops over static geometry). Fully
+                    # differentiable — the structure only drives the
+                    # detached winner search.
+    spheres=None,   # optional (centers (S, 3), radii (S,)): bvh::Sphere
+                    # primitives merged into the scene by closest t
+    table_cols=None,  # prebuilt winner table (prepare_winner_table)
+):
+    """Column-form wavefront render -> (3-tuple of (R,) colors, stats).
+
+    The megakernel fast path: all per-ray math is structure-of-arrays
+    ((R,) columns) — (R, 3) arrays put the 3-vector on the 128-lane axis
+    and waste 42x of the VPU (measured ~35 ms/frame of normalize/dot
+    fusions at 1080p). Everything shading needs per hit rides the single
+    winner row-gather as a payload (megakernel._winner_table).
+    """
+    from ceres_tpu.ops import megakernel
+
+    want_counts = config.traversal_stats
+    # See _payload_cols for the payload layout; the face normal is NOT
+    # in the payload: normal_cols=True prepends it recomputed from the
+    # winner's edge columns (three fewer 8 MB gathers per frame), so the
+    # returned ``pay`` reads [n x3, corners x9?, compat verts x9?].
+    payload, n_pay = _payload_cols(soup, config)
     res = megakernel.closest_hit_common_origin(
         soup, camera.eye, dir_cols, clusters=clusters, payload=payload,
         with_counts=want_counts, normal_cols=True,
-        exact_f64=config.f64_exact)
+        exact_f64=config.f64_exact, table_cols=table_cols)
     (hit, pay), counts1 = (res[:2], res[2]) if want_counts else (res, None)
     mask = hit.mask
     n = (pay[0], pay[1], pay[2])
@@ -338,6 +372,7 @@ def render_wavefront(
     config: RenderConfig,
     clusters=None,
     spheres=None,
+    table_cols=None,
 ):
     """Render a flat wavefront of primary rays -> ((R, 3) colors, stats).
 
@@ -349,7 +384,7 @@ def render_wavefront(
         cols, stats = render_wavefront_cols(
             soup, camera, sun_position,
             (dirs[:, 0], dirs[:, 1], dirs[:, 2]), config, clusters=clusters,
-            spheres=spheres)
+            spheres=spheres, table_cols=table_cols)
         return jnp.stack(cols, axis=-1), stats
 
     hit = _closest_primary(soup, camera, dirs, config.backend,
@@ -454,6 +489,8 @@ def render_pipeline(
                     # before the frame loop, anim.cpp:62-66)
     spheres=None,   # optional (centers (S, 3), radii (S,)) bvh::Sphere
                     # primitives merged into the scene by closest t
+    table_cols=None,  # prebuilt winner table (prepare_winner_table) for
+                      # static-geometry frame loops
 ):
     """Full pipeline from an indexed mesh -> ((H, W, 3) image, stats)."""
     if faces.shape[0] == 0:
@@ -471,7 +508,7 @@ def render_pipeline(
         dir_cols = tuple(tiling.swizzle_plane(p) for p in planes)
         color, stats = render_wavefront_cols(
             soup, camera, sun_position, dir_cols, config, clusters=clusters,
-            spheres=spheres)
+            spheres=spheres, table_cols=table_cols)
         image = jnp.stack(
             [tiling.unswizzle_plane(c, config.height, config.width)
              for c in color], axis=-1)

@@ -507,3 +507,64 @@ class TestPruneExitCidBits:
         assert pidx[0] == 0                       # cluster 0, slot 0
         assert pidx[1] == cid_b * C + 0           # the near-tie candidate
         assert int(np.asarray(steps)[0, 0]) == 2  # both candidates visited
+
+
+class TestShadowRegroup:
+    """Receiver-morton regrouping of the any_dest wavefront must be an
+    exact no-op on the RESULT (only the tile grouping changes)."""
+
+    def test_regrouped_matches_plain(self, rng):
+        soup = _random_scene(rng, V=200, F=400)
+        R = 700
+        points = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.2)
+        skip = jnp.asarray(rng.random(R) < 0.3)
+        dest = jnp.asarray([30.0, 45.0, -20.0], jnp.float32)
+        plain = np.asarray(mk.any_hit_to_point(soup, dest, points,
+                                               skip=skip, regroup=False))
+        grouped = np.asarray(mk.any_hit_to_point(soup, dest, points,
+                                                 skip=skip, regroup=True))
+        np.testing.assert_array_equal(plain, grouped)
+
+    def test_regrouped_hier_matches(self, rng, monkeypatch):
+        monkeypatch.setattr(mk, "_HIER_MIN_CLUSTERS", 1)
+        soup = _random_scene(rng, V=200, F=400)
+        R = 500
+        points = jnp.asarray(
+            rng.standard_normal((R, 3)).astype(np.float32) * 0.2)
+        dest = jnp.asarray([30.0, 45.0, -20.0], jnp.float32)
+        # auto mode now engages regroup (hier threshold crossed).
+        auto = np.asarray(mk.any_hit_to_point(soup, dest, points))
+        plain = np.asarray(mk.any_hit_to_point(soup, dest, points,
+                                               regroup=False))
+        np.testing.assert_array_equal(auto, plain)
+
+
+def test_prebuilt_winner_table_matches(bunny):
+    """closest_hit with a hoisted winner table (prepare_winner_table)
+    must be bit-identical to the inline build."""
+    from ceres_tpu.models.mesh import triangle_soup as ts
+    from ceres_tpu.render.renderer import (RenderConfig, render_pipeline,
+                                           prepare_winner_table)
+    from ceres_tpu.accel.clusters import build_clusters_treelet
+
+    verts, faces = bunny
+    vj, fj = jnp.asarray(verts), jnp.asarray(faces)
+    cfg = RenderConfig(width=48, height=48, mode="smooth",
+                       backend="megakernel")
+    soup = ts(vj, fj, with_normals=True)
+    cs = build_clusters_treelet(ts(vj, fj, with_normals=False))
+    table = prepare_winner_table(soup, cs, cfg)
+    ref, ref_stats = render_pipeline(vj, fj, *_bunny_cam_sun(verts), cfg,
+                                     clusters=cs)
+    img, stats = render_pipeline(vj, fj, *_bunny_cam_sun(verts), cfg,
+                                 clusters=cs, table_cols=table)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+    assert int(stats["primary_hits"]) == int(ref_stats["primary_hits"])
+
+
+def _bunny_cam_sun(verts):
+    eye = np.asarray([0.0, 0.1, -0.3], np.float32)
+    cam = Camera.make(eye=eye, dir=np.asarray(verts).mean(axis=0) - eye,
+                      up=(0, 1, 0), fov=60.0)
+    return cam, jnp.asarray([-50.0, 100.0, 0.0], jnp.float32)
