@@ -60,26 +60,26 @@ def main():
     fj = jnp.asarray(faces)
 
     # The acceleration structure is built ONCE before the frame loop —
-    # the reference's own structure (BVH built before the loop,
-    # anim.cpp:62-66); per-frame time measures traversal + shading.
-    from ceres_tpu.accel.clusters import build_clusters_treelet
+    # the reference's own structure: its hot app builds a SweepSAH BVH
+    # before the loop (anim.cpp:62-66), so the rebuild uses the SweepSAH
+    # treelet cut too (the round-5 on-chip builder A/B,
+    # benchmarks/builder_ab.json: 14% fewer executed visits than the
+    # LBVH cut on bunny). Host build is seconds, outside the timing, as
+    # in the reference; per-frame time measures traversal + shading.
+    from ceres_tpu.accel.cuts import build_clusters_quality
     from ceres_tpu.models.mesh import triangle_soup
-
     from ceres_tpu.render.renderer import prepare_winner_table
 
-    @functools.partial(jax.jit, static_argnames="k")
-    def render_k(v, k):
-        # Structure AND winner table hoisted out of the frame loop (the
-        # reference's pre-loop build, anim.cpp:62-66; XLA does not hoist
-        # either on its own).
-        soup = triangle_soup(v, fj, with_normals=True)
-        clusters = build_clusters_treelet(
-            triangle_soup(v, fj, with_normals=False))
-        table = prepare_winner_table(soup, clusters, config)
+    soup_full = triangle_soup(vj, fj, with_normals=True)
+    clusters = build_clusters_quality(
+        triangle_soup(vj, fj, with_normals=False))
+    table = prepare_winner_table(soup_full, clusters, config)
 
+    @functools.partial(jax.jit, static_argnames="k")
+    def render_k(v, cs, tbl, k):
         def body(i, acc):
             image, _ = render_pipeline(v, fj, camera, sun + i * 1e-3, config,
-                                       clusters=clusters, table_cols=table)
+                                       clusters=cs, table_cols=tbl)
             return acc + image.sum()
         return jax.lax.fori_loop(0, k, body, 0.0)
 
@@ -87,11 +87,11 @@ def main():
     _, stats = render(verts, faces, camera, np.asarray(sun), config=config)
     rays = float(stats["rays"])  # forces a tiny fetch; also syncs
 
-    float(render_k(vj, REPS))  # compile + warm
+    float(render_k(vj, clusters, table, REPS))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(render_k(vj, REPS))  # scalar fetch = real synchronization
+        float(render_k(vj, clusters, table, REPS))  # scalar fetch = real synchronization
         best = min(best, time.perf_counter() - t0)
     dt = best / REPS
 

@@ -32,7 +32,7 @@ DATA = data_dir()
 REPS = 10
 
 
-def _marginal_ms(body_fn, v, prepare_fn=None):
+def _marginal_ms(body_fn, v, prepare_fn=None, aux=None):
     """Per-iteration compute time of ``body_fn(v, i, aux) -> scalar``, by
     the k=1 vs k=REPS+1 in-graph marginal. ``v`` (the vertex array) is
     passed as a jit ARGUMENT: as a closed-over constant XLA fails to hoist
@@ -45,8 +45,8 @@ def _marginal_ms(body_fn, v, prepare_fn=None):
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames="k")
-    def run(v_, k):
-        aux = prepare_fn(v_) if prepare_fn is not None else None
+    def run(v_, aux_, k):
+        aux = prepare_fn(v_) if prepare_fn is not None else aux_
 
         def body(i, acc):
             return acc + body_fn(v_, i, aux)
@@ -54,11 +54,11 @@ def _marginal_ms(body_fn, v, prepare_fn=None):
 
     res = {}
     for k in (1, REPS + 1):
-        float(run(v, k))  # compile + warm
+        float(run(v, aux, k))  # compile + warm
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            float(run(v, k))  # scalar fetch = real synchronization
+            float(run(v, aux, k))  # scalar fetch = real synchronization
             ts.append(time.perf_counter() - t0)
         res[k] = min(ts)
     return (res[REPS + 1] - res[1]) / REPS * 1e3
@@ -88,26 +88,39 @@ def main() -> int:
     sun = jnp.asarray([-50.0, 100.0, 0.0], jnp.float32)
     eye = np.asarray([0.0, 0.1, -0.3], np.float32)
 
-    def frame_body(faces, cam, cfg):
+    def frame_body(faces, cam, cfg, verts_np=None):
         from ceres_tpu.accel.clusters import build_clusters_treelet
+        from ceres_tpu.accel.cuts import build_clusters_quality
         from ceres_tpu.models.mesh import triangle_soup
         from ceres_tpu.render.renderer import prepare_winner_table
 
         fj = jnp.asarray(faces)
-
-        def prepare(v):
-            # Clusters AND winner table hoisted (reference pre-loop
-            # build, anim.cpp:62-66; XLA hoists neither on its own).
-            soup = triangle_soup(v, fj, with_normals=cfg.mode == "smooth")
-            cs = build_clusters_treelet(
-                triangle_soup(v, fj, with_normals=False))
-            return cs, prepare_winner_table(soup, cs, cfg)
 
         def body(v, i, aux):
             clusters, table = aux
             img, _ = render_pipeline(v, fj, cam, sun + i * 1e-3, cfg,
                                      clusters=clusters, table_cols=table)
             return img.sum()
+
+        if verts_np is not None:
+            # The production static-loop structure: the SweepSAH treelet
+            # cut, built once on the host BEFORE the loop — the
+            # reference's own shape (SweepSAH before the frame loop,
+            # anim.cpp:62-66); adopted after the round-5 on-chip builder
+            # A/B (benchmarks/builder_ab.json).
+            vq = jnp.asarray(verts_np)
+            soup = triangle_soup(vq, fj, with_normals=cfg.mode == "smooth")
+            cs = build_clusters_quality(
+                triangle_soup(vq, fj, with_normals=False))
+            return body, (cs, prepare_winner_table(soup, cs, cfg))
+
+        def prepare(v):
+            # Jittable in-graph build (deforming/per-step rebuild path).
+            soup = triangle_soup(v, fj, with_normals=cfg.mode == "smooth")
+            cs = build_clusters_treelet(
+                triangle_soup(v, fj, with_normals=False))
+            return cs, prepare_winner_table(soup, cs, cfg)
+
         return body, prepare
 
     def frame_rays(verts, faces, cam, cfg):
@@ -120,8 +133,8 @@ def main() -> int:
                        fov=60.0)
     cfg1 = RenderConfig(width=512, height=512, mode="flat",
                         backend="megakernel")
-    body1, prep1 = frame_body(bunny_f, cam1, cfg1)
-    ms = _marginal_ms(body1, jnp.asarray(v1), prep1)
+    body1, aux1 = frame_body(bunny_f, cam1, cfg1, verts_np=v1)
+    ms = _marginal_ms(body1, jnp.asarray(v1), aux=aux1)
     record("1_bunny_preview_512_flat", frame_rays(v1, bunny_f, cam1, cfg1), ms)
 
     # -- config 2: bunny 1080p smooth --------------------------------------
@@ -129,8 +142,8 @@ def main() -> int:
                        up=(0, 1, 0), fov=60.0)
     cfg2 = RenderConfig(width=1920, height=1080, mode="smooth",
                         backend="megakernel")
-    body2, prep2 = frame_body(bunny_f, cam2, cfg2)
-    ms2 = _marginal_ms(body2, jnp.asarray(bunny_v), prep2)
+    body2, aux2 = frame_body(bunny_f, cam2, cfg2, verts_np=bunny_v)
+    ms2 = _marginal_ms(body2, jnp.asarray(bunny_v), aux=aux2)
     record("2_bunny_1080p_smooth",
            frame_rays(bunny_v, bunny_f, cam2, cfg2), ms2)
 
@@ -138,16 +151,18 @@ def main() -> int:
     deye = np.asarray([0.0, 2.0, -8.0], np.float32)
     cam3 = Camera.make(eye=deye, dir=dragon_v.mean(axis=0) - deye,
                        up=(0, 1, 0), fov=60.0)
-    body3, prep3 = frame_body(dragon_f, cam3, cfg2)
-    ms = _marginal_ms(body3, jnp.asarray(dragon_v), prep3)
+    body3, aux3 = frame_body(dragon_f, cam3, cfg2, verts_np=dragon_v)
+    ms = _marginal_ms(body3, jnp.asarray(dragon_v), aux=aux3)
     record("3_dragon_1080p_shadows",
            frame_rays(dragon_v, dragon_f, cam3, cfg2), ms,
            {"triangles": int(dragon_f.shape[0])})
     # Structure-build cost on its own (per reference parity it sits outside
     # the frame loop; recorded so the hoisting is auditable).
+    _, prep3j = frame_body(dragon_f, cam3, cfg2)
+
     @functools.partial(jax.jit)
     def build_only(v):
-        cs, _ = prep3(v)
+        cs, _ = prep3j(v)
         return cs.lo.sum() + cs.p0[0, 0, 0]
 
     float(build_only(jnp.asarray(dragon_v)))

@@ -180,3 +180,59 @@ def clusters_from_ploc(soup: TriangleSoup, tree,
     """Cut a PLOC tree (ceres_tpu.accel.ploc.build_ploc) into a ClusterSet."""
     groups, los, his = _cut_ploc(tree, cluster_size)
     return _pack_clusterset(soup, groups, los, his, cluster_size)
+
+
+def build_clusters_quality(soup: TriangleSoup, builder: str = "sweep",
+                           cluster_size: int = CLUSTER_SIZE) -> ClusterSet:
+    """One-call QUALITY ClusterSet for static-geometry frame loops.
+
+    The round-5 on-chip A/B (benchmarks/builder_ab.json) measured every
+    builder's cut against the default on-device LBVH treelet cut at
+    1080p: quality cuts reduce executed kernel visits 14-32% and frame
+    time 7-24% (bunny 68.7 -> 74-76 Mrays/s, dragon 35.9 -> 45-47).
+    SweepSAH — the reference's own choice for its hot app
+    (include/anim.cpp:62) — is within 2% of the best (SBVH/reinsertion)
+    on both scenes at a fraction of their host build cost, so it is the
+    default here. The build is host-side NumPy (seconds; amortizes
+    outside the frame loop exactly like the reference's pre-loop
+    build); keep `build_clusters_treelet` for jittable in-graph builds
+    (per-step rebuilds, deforming geometry, beyond-SMEM scenes where
+    the two-level walk needs the stored super cut).
+
+    ``builder``: sweep | binned (native C++ when available) | sbvh |
+    ploc | reinsert (SweepSAH + parallel reinsertion).
+    """
+    import jax
+
+    soup_d = jax.tree.map(jax.lax.stop_gradient, soup)
+    p0 = np.asarray(soup_d.p0)
+    p1 = p0 - np.asarray(soup_d.e1)
+    p2 = np.asarray(soup_d.e2) + p0
+    pts = np.stack([p0, p1, p2], 1)
+    lo, hi, centers = pts.min(1), pts.max(1), pts.mean(1)
+    from ceres_tpu.accel import golden_builders as gb
+
+    if builder == "sweep":
+        bvh = gb.build_sweep_sah(lo, hi, centers)
+    elif builder == "binned":
+        from ceres_tpu.accel import native
+
+        bvh = (native.build_binned_sah_fast(lo, hi, centers)
+               if native.available()
+               else gb.build_binned_sah(lo, hi, centers))
+    elif builder == "sbvh":
+        from ceres_tpu.accel.sbvh import build_sbvh
+
+        bvh = build_sbvh(p0, p1, p2)
+    elif builder == "ploc":
+        from ceres_tpu.accel import ploc
+
+        return clusters_from_ploc(soup, ploc.build_ploc(soup_d),
+                                  cluster_size)
+    elif builder == "reinsert":
+        from ceres_tpu.accel.reinsertion import optimize_reinsertion
+
+        bvh = optimize_reinsertion(gb.build_sweep_sah(lo, hi, centers))
+    else:
+        raise ValueError(f"unknown builder: {builder}")
+    return clusters_from_flatbvh(soup, bvh, cluster_size)

@@ -46,6 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
                    default="smooth", help="shading mode [smooth]")
     p.add_argument("--backend", choices=["megakernel", "bruteforce"],
                    default="megakernel")
+    p.add_argument("--builder",
+                   choices=["lbvh", "sweep", "binned", "sbvh", "ploc",
+                            "reinsert"],
+                   default="lbvh",
+                   help="acceleration-structure builder (megakernel "
+                        "backend). lbvh = on-device treelet cut "
+                        "(default; builds in ~ms). The others are "
+                        "host-side QUALITY builders cut into the same "
+                        "structure (the reference's builder menu, e.g. "
+                        "sweep = its anim app's SweepSAH): slower to "
+                        "build, 7-24%% faster per frame "
+                        "(benchmarks/builder_ab.json)")
     p.add_argument("--no-shadows", action="store_true",
                    help="skip shadow rays")
     p.add_argument("--sphere", action="append", nargs=4, type=float,
@@ -133,10 +145,24 @@ def run(args) -> int:
             height=args.height, mode=args.mode, backend=args.backend,
             shadows=not args.no_shadows, spheres=spheres)
     else:
+        clusters = None
+        if args.builder != "lbvh" and args.backend == "megakernel":
+            from ceres_tpu.accel.cuts import build_clusters_quality
+            from ceres_tpu.models.mesh import triangle_soup
+
+            tb = time.perf_counter()
+            clusters = build_clusters_quality(
+                triangle_soup(np.asarray(vertices),
+                              np.asarray(faces, np.int32),
+                              with_normals=False),
+                builder=args.builder)
+            print(f"Built {args.builder} clusters "
+                  f"({time.perf_counter() - tb:.3f}s)")
         image, stats = render(
             vertices, faces, camera, sun, width=args.width,
             height=args.height, mode=args.mode, backend=args.backend,
-            shadows=not args.no_shadows, spheres=spheres, **extra_cfg)
+            shadows=not args.no_shadows, spheres=spheres,
+            clusters=clusters, **extra_cfg)
     image = np.asarray(image)
     dt = time.perf_counter() - t1
 

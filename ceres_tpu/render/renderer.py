@@ -525,9 +525,10 @@ def render_pipeline(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _render_jit(vertices, faces, camera, sun_position, config, spheres=None):
+def _render_jit(vertices, faces, camera, sun_position, config, spheres=None,
+                clusters=None):
     return render_pipeline(vertices, faces, camera, sun_position, config,
-                           spheres=spheres)
+                           spheres=spheres, clusters=clusters)
 
 
 def render(
@@ -537,6 +538,7 @@ def render(
     sun_position,
     config: Optional[RenderConfig] = None,
     spheres=None,
+    clusters=None,
     **kwargs,
 ):
     """User-facing render call. kwargs override RenderConfig fields.
@@ -570,4 +572,4 @@ def render(
         spheres = (jnp.asarray(centers, vertices.dtype).reshape(-1, 3),
                    jnp.asarray(radii, vertices.dtype).reshape(-1))
     return _render_jit(vertices, faces, camera, sun_position, config,
-                       spheres)
+                       spheres, clusters)
