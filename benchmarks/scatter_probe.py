@@ -39,11 +39,13 @@ REPS = int(os.environ.get("REPS", 10))
 
 
 def timed(fn, *args):
-    jax.block_until_ready(fn(*args))
+    # Scalar float() fetch, NOT block_until_ready: on the remote tunnel
+    # block_until_ready returns before the device work runs (CLAUDE.md).
+    float(fn(*args))
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best / REPS * 1e3
 
@@ -70,26 +72,32 @@ def main():
     table = jax.random.normal(key, (slots, ncols), jnp.float32)
     cot = jax.random.normal(key, (R, ncols), jnp.float32)
 
+    # Every body op must DEPEND on the loop index or XLA hoists /
+    # constant-folds it (first probe version measured 0.01 ms for
+    # everything): roll the index vector by i (keeps the realistic
+    # coherent distribution) and scale the cotangents by (1 + i*eps).
     @functools.partial(jax.jit, static_argnames="k")
     def gather_fwd(table_, idx_, k):
         def body(i, acc):
-            return acc + table_[idx_ + (i - i)].sum()
+            return acc + table_[jnp.roll(idx_, i)].sum()
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     @functools.partial(jax.jit, static_argnames="k")
     def scatter_vjp(table_, idx_, cot_, k):
         def body(i, acc):
-            _, vjp = jax.vjp(lambda t: t[idx_], table_ + i * 0.0)
-            (dt,) = vjp(cot_)
+            ii = jnp.roll(idx_, i)
+            _, vjp = jax.vjp(lambda t: t[ii], table_)
+            (dt,) = vjp(cot_ * (1.0 + i * 1e-9))
             return acc + dt.sum()
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
     @functools.partial(jax.jit, static_argnames="k")
     def sorted_segsum(idx_, cot_, k):
         def body(i, acc):
-            order = jnp.argsort(idx_).astype(jnp.int32)
-            ids = idx_[order]
-            cs_ = (cot_ + i * 0.0)[order]
+            ii = jnp.roll(idx_, i)
+            order = jnp.argsort(ii).astype(jnp.int32)
+            ids = ii[order]
+            cs_ = (cot_ * (1.0 + i * 1e-9))[order]
             dt = jax.ops.segment_sum(cs_, ids, num_segments=slots,
                                      indices_are_sorted=True)
             return acc + dt.sum()
@@ -103,6 +111,9 @@ def main():
         "sorted_segsum_ms": round(timed(sorted_segsum, idx, cot, REPS), 2),
     }
     print(json.dumps(res), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scatter_probe.json"), "w") as fh:
+        json.dump(res, fh, indent=1)
     return 0
 
 
