@@ -37,6 +37,10 @@ from ceres_tpu.render.scenes import data_dir
 LEVELS = int(os.environ.get("LEVELS", 4))
 REPS = int(os.environ.get("REPS", 3))
 SUPERS = os.environ.get("SUPERS", "tree")  # tree | uniform
+# lbvh = on-device treelet cut (tree-derived supers); binned = native
+# C++ BinnedSAH quality cut (host build; supers fall back to uniform
+# runs over the SAH cut order).
+BUILDER = os.environ.get("BUILDER", "lbvh")
 
 
 def main():
@@ -57,9 +61,23 @@ def main():
     from ceres_tpu.accel.clusters import build_clusters_treelet
     from ceres_tpu.render.renderer import prepare_winner_table
 
+    if BUILDER != "lbvh":
+        from ceres_tpu.accel.cuts import build_clusters_quality
+
+        t0 = time.perf_counter()
+        cs_q = build_clusters_quality(
+            triangle_soup(vj, fj, with_normals=False), builder=BUILDER)
+        print(f"{BUILDER} host build+cut: "
+              f"{time.perf_counter() - t0:.1f}s "
+              f"({cs_q.num_clusters} clusters)", flush=True)
+
     def prepare(v):
         soup = triangle_soup(v, fj, with_normals=True)
-        cs = build_clusters_treelet(triangle_soup(v, fj, with_normals=False))
+        if BUILDER != "lbvh":
+            cs = cs_q
+        else:
+            cs = build_clusters_treelet(
+                triangle_soup(v, fj, with_normals=False))
         if SUPERS == "uniform":
             cs = dataclasses.replace(cs, super_first=None, super_S=0)
         return cs, prepare_winner_table(soup, cs, cfg)
@@ -104,6 +122,7 @@ def main():
     line = {
         "config": f"6_bunny_subdiv{LEVELS}_1080p_smooth",
         "supers": SUPERS,
+        "builder": BUILDER,
         "triangles": T,
         "rays_per_sec": round(rays / (ms * 1e-3), 1),
         "ms_per_frame": round(ms, 3),
@@ -114,7 +133,7 @@ def main():
     print(json.dumps(line), flush=True)
 
     # Merge into the sweep record (tree supers are the production path).
-    if SUPERS == "tree":
+    if SUPERS == "tree" and BUILDER == "lbvh":
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "latest_results.json")
         results = []

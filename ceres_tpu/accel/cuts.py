@@ -31,13 +31,20 @@ from ceres_tpu.accel.golden_builders import FlatBvh
 from ceres_tpu.models.mesh import TriangleSoup
 
 
-def _cut_flatbvh(bvh: FlatBvh, cluster_size: int):
-    """Greedy maximal-subtree cut. Returns (prim id lists, lo, hi)."""
+def _cut_flatbvh(bvh: FlatBvh, cluster_size: int, super_slots: int = 0):
+    """Greedy maximal-subtree cut. Returns (prim id lists, lo, hi,
+    super_first) — super_first is None unless ``super_slots`` > 0, in
+    which case a SECOND maximal-subtree cut groups <= super_slots fine
+    clusters per super (the megakernel two-level walk's upper level,
+    here derived from the QUALITY tree's own interior nodes; the
+    lbvh-path analog is lbvh.super_cut). Fine clusters are emitted
+    super-by-super, so each super's members are contiguous fine ids."""
     prim_count = bvh.prim_count.astype(np.int64)
     first = bvh.first_child.astype(np.int64)
     counts = np.zeros(bvh.node_count, np.int64)
+    gcount = np.zeros(bvh.node_count, np.int64)  # fine clusters in subtree
 
-    # Subtree primitive counts, iterative post-order from the root.
+    # Subtree primitive + fine-cluster counts, iterative post-order.
     order = []
     stack = [0]
     while stack:
@@ -51,6 +58,9 @@ def _cut_flatbvh(bvh: FlatBvh, cluster_size: int):
             counts[i] = prim_count[i]
         else:
             counts[i] = counts[first[i]] + counts[first[i] + 1]
+        gcount[i] = 1 if counts[i] <= cluster_size else (
+            gcount[first[i]] + gcount[first[i] + 1]
+            if prim_count[i] == 0 else 1)
 
     def subtree_prims(i: int) -> np.ndarray:
         out = []
@@ -65,19 +75,45 @@ def _cut_flatbvh(bvh: FlatBvh, cluster_size: int):
                 st.append(int(first[j]) + 1)
         return np.concatenate(out)
 
+    if super_slots == "auto":
+        # Width matched to the search-time walk: the fine-cluster count
+        # is gcount[0], known before any emission.
+        from ceres_tpu.ops.megakernel import _super_slots
+
+        super_slots = _super_slots(int(gcount[0]))
+
     groups: List[np.ndarray] = []
     los, his = [], []
-    stack = [0]
-    while stack:
-        i = stack.pop()
-        if counts[i] <= cluster_size:
-            groups.append(subtree_prims(i))
-            los.append(bvh.bounds[i, 0::2])
-            his.append(bvh.bounds[i, 1::2])
-        else:
-            stack.append(int(first[i]))
-            stack.append(int(first[i]) + 1)
-    return groups, np.asarray(los, np.float32), np.asarray(his, np.float32)
+
+    def emit_fine(i: int) -> None:
+        st = [i]
+        while st:
+            j = st.pop()
+            if counts[j] <= cluster_size:
+                groups.append(subtree_prims(j))
+                los.append(bvh.bounds[j, 0::2])
+                his.append(bvh.bounds[j, 1::2])
+            else:
+                st.append(int(first[j]))
+                st.append(int(first[j]) + 1)
+
+    super_first = None
+    if super_slots:
+        super_first = []
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            if gcount[i] <= super_slots:
+                super_first.append(len(groups))
+                emit_fine(i)
+            else:
+                stack.append(int(first[i]))
+                stack.append(int(first[i]) + 1)
+        super_first = np.asarray(super_first, np.int32)
+    else:
+        emit_fine(0)
+    return (groups, np.asarray(los, np.float32),
+            np.asarray(his, np.float32), super_first)
 
 
 def _cut_ploc(tree, cluster_size: int):
@@ -167,12 +203,23 @@ def clusters_from_flatbvh(soup: TriangleSoup, bvh: FlatBvh,
                           cluster_size: int = CLUSTER_SIZE) -> ClusterSet:
     """Cut a host FlatBvh (SweepSAH/BinnedSAH/SBVH/...) into a ClusterSet.
 
+    Also derives the two-level walk's SUPER level from the same tree (a
+    second maximal-subtree cut at <= megakernel._super_slots(n_c) fine
+    clusters per super) so beyond-SMEM scenes keep tree-tight super
+    boxes with quality cuts too.
+
     NOTE: SBVH trees duplicate references (spatial splits); duplicates are
     fine — the walk kernel's closest-t winner is unaffected by seeing a
     triangle twice.
     """
-    groups, los, his = _cut_flatbvh(bvh, cluster_size)
-    return _pack_clusterset(soup, groups, los, his, cluster_size)
+    import dataclasses
+
+    from ceres_tpu.ops.megakernel import _super_slots
+
+    groups, los, his, super_first = _cut_flatbvh(bvh, cluster_size, "auto")
+    cs = _pack_clusterset(soup, groups, los, his, cluster_size)
+    return dataclasses.replace(cs, super_first=jnp.asarray(super_first),
+                               super_S=_super_slots(len(groups)))
 
 
 def clusters_from_ploc(soup: TriangleSoup, tree,
