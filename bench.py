@@ -72,7 +72,8 @@ def main():
 
     soup_full = triangle_soup(vj, fj, with_normals=True)
     clusters = build_clusters_quality(
-        triangle_soup(vj, fj, with_normals=False))
+        triangle_soup(vj, fj, with_normals=False),
+        builder=os.environ.get("CERES_BENCH_BUILDER", "sweep"))
     table = prepare_winner_table(soup_full, clusters, config)
 
     @functools.partial(jax.jit, static_argnames="k")
