@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="smooth")
     p.add_argument("--backend", choices=["megakernel", "bruteforce"],
                    default="megakernel")
+    p.add_argument("--builder",
+                   choices=["lbvh", "sweep", "binned", "sbvh", "ploc",
+                            "reinsert"],
+                   default="lbvh",
+                   help="acceleration-structure builder. Frame loops "
+                        "amortize a host-side QUALITY build best: sweep "
+                        "(the reference anim app's own SweepSAH choice, "
+                        "anim.cpp:62) renders 7-24%% faster per frame "
+                        "(benchmarks/builder_ab.json)")
     p.add_argument("--batch", type=int, default=None,
                    help="frames rendered per dispatch (default 4 per "
                         "frames-axis shard: batching amortizes per-frame "
@@ -127,6 +136,19 @@ def run(args) -> int:
     if args.save_frames:
         os.makedirs(args.save_frames, exist_ok=True)
 
+    clusters = None
+    if args.builder != "lbvh" and args.backend == "megakernel":
+        from ceres_tpu.accel.cuts import build_clusters_quality
+        from ceres_tpu.models.mesh import triangle_soup
+
+        tb = time.perf_counter()
+        clusters = build_clusters_quality(
+            triangle_soup(np.asarray(vertices, dtype),
+                          np.asarray(faces, np.int32), with_normals=False),
+            builder=args.builder)
+        print(f"Built {args.builder} clusters "
+              f"({time.perf_counter() - tb:.3f}s)")
+
     batch = args.batch or min(args.frames, 4)
     total_rays = 0
     frames_u8 = [None] * args.frames
@@ -142,7 +164,7 @@ def run(args) -> int:
         frames, stats = render_frames_sharded(
             vertices, faces, camera, sun, tf, mesh=mesh,
             width=args.width, height=args.height, mode=args.mode,
-            backend=args.backend)
+            backend=args.backend, clusters=clusters)
         frames = np.asarray(frames)
         total_rays += int(stats["rays"])
         for k in range(frames.shape[0]):

@@ -186,7 +186,8 @@ def render_sharded(
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "num_frames"))
 def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
-                       config, mesh, num_frames, spheres=None):
+                       config, mesh, num_frames, spheres=None,
+                       clusters_pre=None):
     """Animation frames over the "frames" axis x rows over "rays"."""
     nf = mesh.shape["frames"]
     nr = mesh.shape["rays"]
@@ -199,11 +200,11 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("frames"), P("rays"), P()),
+        in_specs=(P(), P(), P(), P(), P("frames"), P("rays"), P(), P()),
         out_specs=(P("frames", "rays"), P()),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
-    def fn(verts, faces_, cam, sun_, tf_shard, row0_shard, sph):
+    def fn(verts, faces_, cam, sun_, tf_shard, row0_shard, sph, cs_pre):
         # Geometry is static across frames: build the soup and the
         # traversal clusters ONCE outside the frame loop (XLA does not
         # hoist the LBVH build out of lax.map on its own — measured as
@@ -216,8 +217,12 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
             from ceres_tpu.accel import clusters as cl
             from ceres_tpu.render.renderer import prepare_winner_table
 
-            clusters = cl.build_clusters_treelet(
-                jax.tree.map(jax.lax.stop_gradient, soup))
+            # Prebuilt (quality-cut) clusters win 7-24% per frame
+            # (benchmarks/builder_ab.json); otherwise the jittable
+            # on-device treelet build, hoisted before the frame loop.
+            clusters = cs_pre if cs_pre is not None else \
+                cl.build_clusters_treelet(
+                    jax.tree.map(jax.lax.stop_gradient, soup))
             # The winner table is frame-invariant too (static geometry);
             # XLA does not hoist it out of lax.map on its own.
             table = prepare_winner_table(soup, clusters, config)
@@ -241,7 +246,7 @@ def _render_frames_jit(vertices, faces, camera, sun, frame_transforms,
         return colors, stats
 
     frames, stats = fn(vertices, faces, camera, sun, frame_transforms, row0,
-                       spheres)
+                       spheres, clusters_pre)
     return frames[:, :config.height], stats
 
 
@@ -254,6 +259,7 @@ def render_frames_sharded(
     config: Optional[RenderConfig] = None,
     mesh: Optional[Mesh] = None,
     spheres=None,
+    clusters=None,
     **kwargs,
 ):
     """Batched multi-frame render (BASELINE config 5).
@@ -275,7 +281,7 @@ def render_frames_sharded(
     spheres = _as_spheres(spheres, vertices.dtype)
     return _render_frames_jit(vertices, faces, camera, sun_position,
                               frame_transforms, config, mesh, num_frames,
-                              spheres)
+                              spheres, clusters)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mesh", "refit"))
