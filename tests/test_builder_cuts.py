@@ -95,3 +95,31 @@ def test_cut_quality_not_absurd(bunny):
     lbvh_cut = cl.build_clusters_treelet(soup)
     sweep_cut = _build_clusters("sweep", soup)
     assert scheduled(sweep_cut) <= 2 * scheduled(lbvh_cut)
+
+
+def test_frames_sharded_quality_clusters_match(bunny):
+    """render_frames_sharded with prebuilt quality clusters must match
+    the default in-graph treelet build (same scene, frame 0)."""
+    import numpy as np
+
+    from ceres_tpu.accel.cuts import build_clusters_quality
+    from ceres_tpu.parallel.sharded import (render_frames_sharded,
+                                            turntable_transforms)
+
+    scene = scenes.bunny_scene()
+    cfg = RenderConfig(width=64, height=64, mode="smooth",
+                       backend="megakernel")
+    tfs = turntable_transforms(2)
+    ref, ref_stats = render_frames_sharded(scene.vertices, scene.faces,
+                                           scene.camera, scene.sun, tfs,
+                                           config=cfg)
+    cs = build_clusters_quality(
+        triangle_soup(jnp.asarray(scene.vertices),
+                      jnp.asarray(scene.faces), with_normals=False))
+    img, stats = render_frames_sharded(scene.vertices, scene.faces,
+                                       scene.camera, scene.sun, tfs,
+                                       config=cfg, clusters=cs)
+    assert int(stats["primary_hits"]) == int(ref_stats["primary_hits"])
+    # Same visibility; shading equal up to near-tie winner flips.
+    diff = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+    assert (diff <= 1e-4).mean() >= 0.999
