@@ -108,7 +108,13 @@ _RESIDENT_W_BYTES = 8 << 20
 # is SMEM: its double-buffered per-group key window (G x n_c x 4 B x 2)
 # exceeds the 1 MB budget at 16384 blocks (a 1.27M-triangle scene fails
 # to compile flat; the two-level walk renders it). The threshold sits
-# just under that wall with margin for the counts/hull windows.
+# just under that wall with margin for the counts/hull windows — and is
+# also near the flat walk's QUALITY wall: its packed keys clear
+# ceil(log2 n_c) mantissa bits, so at 14.4k blocks entries quantize to
+# a ~2e-3 relative grid and boundary visits explode (measured round 5,
+# 1.27M tris on a 14,367-block quality cut: flat 837 ms / 250,924
+# executed visits vs two-level 512 ms / 151,674 — the in-super priority
+# walk gates on FULL-precision entries from bbox_ref instead).
 _HIER_MIN_CLUSTERS = int(os.environ.get("CERES_HIER_MIN", 12288))
 # Shadow-wavefront receiver regrouping (see any_hit_to_point):
 # "auto" = on for scenes past the two-level threshold, "1"/"0" force.
