@@ -123,3 +123,31 @@ def test_frames_sharded_quality_clusters_match(bunny):
     # Same visibility; shading equal up to near-tie winner flips.
     diff = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
     assert (diff <= 1e-4).mean() >= 0.999
+
+
+def test_quality_cut_two_level_walk_matches(bunny, monkeypatch):
+    """The two-level walk over a QUALITY cut's tree-derived supers
+    (clusters_from_flatbvh's second cut) must match the flat walk."""
+    import numpy as np
+
+    from ceres_tpu.accel.cuts import build_clusters_quality
+    from ceres_tpu.ops import megakernel as mk
+
+    scene = scenes.bunny_scene()
+    soup = triangle_soup(jnp.asarray(scene.vertices),
+                         jnp.asarray(scene.faces), with_normals=False)
+    cs = build_clusters_quality(soup, builder="binned")
+    assert cs.super_first is not None and cs.super_S > 1
+    eye = jnp.asarray(scene.camera.eye)
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((600, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    flat = mk.closest_hit_common_origin(soup, eye, d, clusters=cs)
+    monkeypatch.setattr(mk, "_HIER_MIN_CLUSTERS", 1)
+    hier = mk.closest_hit_common_origin(soup, eye, d, clusters=cs)
+    np.testing.assert_array_equal(np.asarray(flat.mask),
+                                  np.asarray(hier.mask))
+    m = np.asarray(flat.mask)
+    assert (np.asarray(flat.prim_id)[m]
+            == np.asarray(hier.prim_id)[m]).mean() > 0.99
